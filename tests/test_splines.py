@@ -1,0 +1,111 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import scipy.interpolate
+
+from tpu_pathopt import splines
+
+
+def _fit_pair(rng, n=20):
+    s = np.sort(rng.uniform(0, 30, size=n))
+    s[0] = 0.0
+    s = np.unique(s)
+    while len(s) < n:
+        s = np.append(s, s[-1] + 1.0)
+    y = rng.normal(size=n).cumsum()
+    return s, y
+
+
+def test_fit_matches_scipy_natural():
+    rng = np.random.default_rng(0)
+    s, y = _fit_pair(rng)
+    sp = splines.fit_natural(jnp.asarray(s, jnp.float64), jnp.asarray(y, jnp.float64))
+    ref = scipy.interpolate.CubicSpline(s, y, bc_type="natural")
+    q = np.linspace(s[0], s[-1], 200)
+    for order in (0, 1, 2):
+        ours = np.asarray(splines.evaluate(sp, jnp.asarray(q), order))
+        np.testing.assert_allclose(ours, ref(q, order), rtol=1e-4, atol=1e-4)
+
+
+def test_padded_fit_matches_unpadded():
+    rng = np.random.default_rng(1)
+    s, y = _fit_pair(rng, n=15)
+    sp_full = splines.fit_natural(jnp.asarray(s), jnp.asarray(y))
+    # Pad to 25 knots with linear continuation
+    extra = np.arange(1, 11) * 2.0
+    s_pad = np.concatenate([s, s[-1] + extra])
+    y_pad = np.concatenate([y, y[-1] + extra * 0.5])
+    sp_pad = splines.fit_natural(jnp.asarray(s_pad), jnp.asarray(y_pad),
+                                 n_valid=len(s))
+    q = np.linspace(0, s[-1], 100)
+    np.testing.assert_allclose(
+        np.asarray(splines.evaluate(sp_pad, jnp.asarray(q))),
+        np.asarray(splines.evaluate(sp_full, jnp.asarray(q))), atol=1e-4)
+
+
+def test_linear_extrapolation():
+    s = np.array([0.0, 1.0, 2.0, 3.0])
+    y = np.array([0.0, 1.0, 0.0, 1.0])
+    sp = splines.fit_natural(jnp.asarray(s), jnp.asarray(y))
+    # Beyond the end: linear with end slope; second derivative zero.
+    q = jnp.asarray([4.0, 5.0])
+    v = np.asarray(splines.evaluate(sp, q))
+    d = np.asarray(splines.evaluate(sp, q, 1))
+    dd = np.asarray(splines.evaluate(sp, q, 2))
+    assert np.allclose(d, d[0], atol=1e-5)          # constant slope
+    np.testing.assert_allclose(v[1] - v[0], d[0] * 1.0, atol=1e-4)
+    np.testing.assert_allclose(dd, 0.0, atol=1e-6)
+
+
+def test_heading_curvature_on_circle():
+    # Circle of radius R: curvature = 1/R everywhere.
+    R = 10.0
+    t = np.linspace(0, np.pi, 80)
+    s = R * t
+    x = R * np.cos(t)
+    y = R * np.sin(t)
+    xs = splines.fit_natural(jnp.asarray(s), jnp.asarray(x))
+    ys = splines.fit_natural(jnp.asarray(s), jnp.asarray(y))
+    q = jnp.asarray(np.linspace(2.0, s[-1] - 2.0, 50))
+    k = np.asarray(splines.curvature(xs, ys, q))
+    np.testing.assert_allclose(k, 1.0 / R, rtol=2e-2)
+    h = np.asarray(splines.heading(xs, ys, q))
+    # Tangent of ccw circle at angle t is t + pi/2 (compare modulo 2*pi).
+    expect = np.asarray(q) / R + np.pi / 2
+    diff = np.arctan2(np.sin(h - expect), np.cos(h - expect))
+    np.testing.assert_allclose(diff, 0.0, atol=2e-2)
+
+
+def test_projection_newton():
+    # Straight line y = 0: projection of (tx, ty) is s = tx.
+    s = np.arange(30.0)
+    xs = splines.fit_natural(jnp.asarray(s), jnp.asarray(s))
+    ys = splines.fit_natural(jnp.asarray(s), jnp.asarray(np.zeros_like(s)))
+    p = float(splines.project(xs, ys, 12.3, 4.0, 29.0))
+    np.testing.assert_allclose(p, 12.3, atol=1e-3)
+
+
+def test_directional_projection():
+    # Curve along x-axis; ray from (5, -2) at angle pi/2 (pointing +y) hits s=5.
+    s = np.arange(30.0)
+    xs = splines.fit_natural(jnp.asarray(s), jnp.asarray(s))
+    ys = splines.fit_natural(jnp.asarray(s), jnp.asarray(np.zeros_like(s)))
+    p = float(splines.project_directional_newton(
+        xs, ys, 5.0, -2.0, np.pi / 2, 29.0, 8.0))
+    np.testing.assert_allclose(p, 5.0, atol=1e-3)
+
+
+def test_fit_is_vmappable():
+    rng = np.random.default_rng(2)
+    batch_s, batch_y = [], []
+    for _ in range(4):
+        s, y = _fit_pair(rng, n=12)
+        batch_s.append(s)
+        batch_y.append(y)
+    bs = jnp.asarray(np.stack(batch_s))
+    by = jnp.asarray(np.stack(batch_y))
+    sps = jax.vmap(splines.fit_natural)(bs, by)
+    assert sps.a.shape == (4, 11)
+    q = jnp.asarray(np.linspace(0, 5, 7))
+    vals = jax.vmap(lambda sp: splines.evaluate(sp, q))(sps)
+    assert vals.shape == (4, 7)

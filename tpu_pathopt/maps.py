@@ -1,0 +1,142 @@
+"""Grid map container, batched ESDF construction, and bilinear distance lookup.
+
+TPU-native replacement for three pieces of the reference:
+
+- the ``grid_map::GridMap`` adapter (reference: src/tools/Map.cpp:16-22 — bilinear
+  lookup of the "distance" layer, 0.0 outside the map),
+- the demo's ESDF construction (reference: src/test/demo.cpp:109-113 —
+  ``cv::distanceTransform`` over the obstacle image),
+- the grid-map coordinate convention of ``initializeFromImage``: image row 0 is
+  max-x, column 0 is max-y, map centered at the origin.
+
+The distance transform here is an *exact* Euclidean EDT implemented as two
+separable passes (Felzenszwalb-style), reshaped for TPU: pass 1 is a
+log-doubling one-sided min-plus sweep along rows (O(log W) full-array ops, no
+sequential scan), pass 2 is a chunked min-plus reduction over columns — batched
+matmul-shaped work that XLA tiles well. Matches
+``scipy.ndimage.distance_transform_edt`` exactly (center-to-center distances).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+_INF_PX = 1.0e4  # larger than any realistic map dimension in pixels
+
+
+@flax.struct.dataclass
+class GridMap:
+    """Occupancy + ESDF container. ``esdf`` is in meters; (i, j) indexes
+    (row, col) of the source image with the grid_map convention above."""
+
+    esdf: jax.Array                     # (R, C) float, meters to nearest obstacle
+    resolution: float = flax.struct.field(pytree_node=False, default=0.2)
+
+    @property
+    def shape(self):
+        return self.esdf.shape
+
+    @property
+    def half_extent(self):
+        r, c = self.esdf.shape
+        return 0.5 * r * self.resolution, 0.5 * c * self.resolution
+
+
+def _one_sided_sweep(d, axis, reverse):
+    """d_j = min_k (d_k + |j - k|) restricted to k <= j (or k >= j if reverse),
+    in pixel units, via in-place log-doubling."""
+    n = d.shape[axis]
+    shift = 1
+    while shift < n:
+        if reverse:
+            shifted = jnp.roll(d, -shift, axis=axis)
+            idx = jnp.arange(d.shape[axis]) >= n - shift
+        else:
+            shifted = jnp.roll(d, shift, axis=axis)
+            idx = jnp.arange(d.shape[axis]) < shift
+        mask_shape = [1] * d.ndim
+        mask_shape[axis] = n
+        mask = idx.reshape(mask_shape)
+        shifted = jnp.where(mask, _INF_PX, shifted)
+        d = jnp.minimum(d, shifted + shift)
+        shift *= 2
+    return d
+
+
+def edt_1d(obstacle_mask, axis):
+    """Exact 1D distance (pixels) to the nearest True element along `axis`."""
+    d = jnp.where(obstacle_mask, 0.0, _INF_PX).astype(jnp.float32)
+    d = _one_sided_sweep(d, axis, reverse=False)
+    d = _one_sided_sweep(d, axis, reverse=True)
+    return d
+
+
+def euclidean_distance_transform(obstacle_mask, chunk: int = 64):
+    """Exact 2D EDT in pixels: distance from each cell to the nearest obstacle
+    (True) cell. Two separable passes; pass 2 is a chunked min-plus reduce."""
+    d1 = edt_1d(obstacle_mask, axis=1)                      # (R, C) per-row dist
+    d1sq = jnp.minimum(d1, _INF_PX) ** 2                    # (R, C)
+    rows = obstacle_mask.shape[0]
+    n_chunks = -(-rows // chunk)
+    pad_rows = n_chunks * chunk
+    all_i = jnp.arange(rows, dtype=jnp.float32)             # source rows
+
+    def one_chunk(c_idx):
+        out_i = c_idx * chunk + jnp.arange(chunk, dtype=jnp.float32)  # (chunk,)
+        w = (out_i[:, None] - all_i[None, :]) ** 2          # (chunk, R)
+        # (chunk, R, 1) + (1, R, C) -> min over R
+        vals = w[:, :, None] + d1sq[None, :, :]
+        return jnp.min(vals, axis=1)                        # (chunk, C)
+
+    chunks = jax.lax.map(one_chunk, jnp.arange(n_chunks))
+    d2sq = chunks.reshape(pad_rows, -1)[:rows]
+    return jnp.sqrt(d2sq)
+
+
+def build_map(obstacle_mask, resolution: float = 0.2, chunk: int = 64) -> GridMap:
+    """Build a GridMap (ESDF in meters) from a boolean obstacle mask
+    (True = occupied). Mirrors demo.cpp:109-113 where the pixel distance is
+    scaled by the map resolution."""
+    esdf = euclidean_distance_transform(obstacle_mask, chunk=chunk) * resolution
+    return GridMap(esdf=esdf.astype(jnp.float32), resolution=resolution)
+
+
+def grid_map_from_image(img, resolution: float = 0.2, occupied_below: int = 128) -> GridMap:
+    """Build from a uint8 grayscale image (0 = obstacle, 255 = free), like the
+    reference demo loads gridmap.png (demo.cpp:98-113)."""
+    img = jnp.asarray(img)
+    return build_map(img < occupied_below, resolution=resolution)
+
+
+def position_to_index(gm: GridMap, x, y):
+    """Continuous (row, col) index of world position (x, y) under the grid_map
+    convention: row 0 ↔ max x, col 0 ↔ max y, map centered at origin."""
+    r, c = gm.shape
+    fi = (0.5 * r - 0.5) - x / gm.resolution
+    fj = (0.5 * c - 0.5) - y / gm.resolution
+    return fi, fj
+
+
+def is_inside(gm: GridMap, x, y):
+    hx, hy = gm.half_extent
+    return (jnp.abs(x) <= hx) & (jnp.abs(y) <= hy)
+
+
+def obstacle_distance(gm: GridMap, x, y):
+    """Bilinear lookup of the ESDF at world position(s); 0.0 outside the map
+    (reference: Map.cpp:16-22). Fully vectorized over any leading shape."""
+    fi, fj = position_to_index(gm, x, y)
+    r, c = gm.shape
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, r - 2)
+    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, c - 2)
+    ti = jnp.clip(fi - i0, 0.0, 1.0)
+    tj = jnp.clip(fj - j0, 0.0, 1.0)
+    v00 = gm.esdf[i0, j0]
+    v01 = gm.esdf[i0, j0 + 1]
+    v10 = gm.esdf[i0 + 1, j0]
+    v11 = gm.esdf[i0 + 1, j0 + 1]
+    interp = (v00 * (1 - ti) * (1 - tj) + v01 * (1 - ti) * tj
+              + v10 * ti * (1 - tj) + v11 * ti * tj)
+    return jnp.where(is_inside(gm, x, y), interp, 0.0)

@@ -1,0 +1,254 @@
+"""Batched natural cubic splines + Newton projections.
+
+TPU-native replacement for the vendored ``tk::spline``/``band_matrix`` pair
+(reference: src/tools/spline.cpp — banded LU at :70-142, coefficients :161-249,
+eval :251, deriv :273) and for the projection helpers in src/tools/tools.cpp
+(``getProjection`` :66-96, ``getProjectionByNewton`` :98-126,
+``getDirectionalProjectionByNewton`` :156-189).
+
+A spline is a pytree of knot arrays + polynomial coefficients with a validity
+count, so a fixed-shape (padded) representation serves a whole batch under one
+compilation. The natural-BC tridiagonal system is solved with a Thomas scan
+(``lax.scan``) — sequential over knots, vmapped over batch; matches
+``scipy.interpolate.CubicSpline(bc_type='natural')`` to float tolerance.
+Out-of-range queries extrapolate *linearly* (natural BC ⇒ zero end curvature),
+which is what tk::spline does and what the reference relies on when it
+evaluates 3 m past the fitted range (tension_smoother.cpp:40).
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+
+@flax.struct.dataclass
+class CubicSpline:
+    """Piecewise cubic y(s) = y_i + c_i t + b_i t^2 + a_i t^3, t = s - s_i on
+    [s_i, s_{i+1}]. Arrays have static length N (padded); ``n_valid`` counts
+    real knots. Padded knots continue the last segment linearly."""
+
+    s: jax.Array        # (N,) knot positions, strictly increasing
+    y: jax.Array        # (N,) values at knots
+    a: jax.Array        # (N-1,)
+    b: jax.Array        # (N-1,)
+    c: jax.Array        # (N-1,)
+    n_valid: jax.Array  # () int32
+
+    @property
+    def s_max(self):
+        return jnp.take(self.s, self.n_valid - 1)
+
+
+def _thomas(lower, diag, upper, rhs):
+    """Tridiagonal solve via Thomas algorithm, expressed as two lax.scans.
+    All inputs (n,); lower[0] and upper[-1] are ignored."""
+
+    def fwd(carry, inp):
+        c_prev, d_prev = carry
+        lo, dg, up, r = inp
+        denom = dg - lo * c_prev
+        c_new = up / denom
+        d_new = (r - lo * d_prev) / denom
+        return (c_new, d_new), (c_new, d_new)
+
+    (_, _), (cp, dp) = jax.lax.scan(
+        fwd, (jnp.zeros_like(diag[0]), jnp.zeros_like(diag[0])),
+        (lower, diag, upper, rhs))
+
+    def bwd(x_next, inp):
+        c_i, d_i = inp
+        x = d_i - c_i * x_next
+        return x, x
+
+    _, xs = jax.lax.scan(bwd, jnp.zeros_like(diag[0]), (cp, dp), reverse=True)
+    return xs
+
+
+def fit_natural(s, y, n_valid=None) -> CubicSpline:
+    """Fit a natural cubic spline through (s, y). ``s`` must be strictly
+    increasing over the first ``n_valid`` entries; entries beyond are padding
+    (any increasing continuation works — see ``pad_polyline``)."""
+    s = jnp.asarray(s)
+    y = jnp.asarray(y)
+    n = s.shape[0]
+    if n_valid is None:
+        n_valid = jnp.asarray(n, jnp.int32)
+    n_valid = jnp.asarray(n_valid, jnp.int32)
+
+    h = jnp.diff(s)                                  # (n-1,)
+    slope = jnp.diff(y) / h                          # (n-1,)
+
+    # Interior equations for second derivatives sigma_i, i = 1..n-2:
+    #   h_{i-1} sig_{i-1} + 2(h_{i-1}+h_i) sig_i + h_i sig_{i+1}
+    #     = 6 (slope_i - slope_{i-1})
+    # Natural BC (sig_0 = sig_{n-1} = 0) and masked rows become identity rows.
+    idx = jnp.arange(n)
+    interior = (idx >= 1) & (idx <= n_valid - 2)
+    h_im1 = jnp.concatenate([h[:1], h])              # h_{i-1} aligned to i (pad i=0)
+    h_i = jnp.concatenate([h, h[-1:]])               # h_i aligned to i (pad i=n-1)
+    slope_i = jnp.concatenate([slope, slope[-1:]])
+    slope_im1 = jnp.concatenate([slope[:1], slope])
+
+    diag = jnp.where(interior, 2.0 * (h_im1 + h_i), 1.0)
+    lower = jnp.where(interior, h_im1, 0.0)
+    upper = jnp.where(interior, h_i, 0.0)
+    rhs = jnp.where(interior, 6.0 * (slope_i - slope_im1), 0.0)
+    # Zero coupling into non-interior rows from neighbors:
+    lower = jnp.where(jnp.roll(interior, 0), lower, 0.0)
+    sigma = _thomas(lower, diag, upper, rhs)
+    sigma = jnp.where(interior, sigma, 0.0)          # natural ends + padding
+
+    sig_i = sigma[:-1]
+    sig_ip1 = sigma[1:]
+    a = (sig_ip1 - sig_i) / (6.0 * h)
+    b = sig_i / 2.0
+    c = slope - h * (2.0 * sig_i + sig_ip1) / 6.0
+    return CubicSpline(s=s, y=y, a=a, b=b, c=c, n_valid=n_valid)
+
+
+def _segment_index(sp: CubicSpline, q):
+    """Index of the segment containing q, clipped to valid segments."""
+    i = jnp.searchsorted(sp.s, q, side="right") - 1
+    return jnp.clip(i, 0, sp.n_valid - 2)
+
+
+def evaluate(sp: CubicSpline, q, order: int = 0):
+    """Evaluate the spline (order=0) or its derivative (order=1, 2) at q.
+    Linear extrapolation beyond the valid range (tk::spline natural-BC
+    behavior, spline.cpp:251-299)."""
+    q = jnp.asarray(q)
+    i = _segment_index(sp, q)
+    t = q - jnp.take(sp.s, i)
+    a = jnp.take(sp.a, i)
+    b = jnp.take(sp.b, i)
+    c = jnp.take(sp.c, i)
+    y0 = jnp.take(sp.y, i)
+
+    s_lo = sp.s[0]
+    s_hi = sp.s_max
+    below = q < s_lo
+    above = q > s_hi
+
+    if order == 0:
+        val = y0 + t * (c + t * (b + t * a))
+        # Linear extension with the end slopes.
+        lo_val = sp.y[0] + sp.c[0] * (q - s_lo)
+        hi_i = sp.n_valid - 2
+        h_end = jnp.take(sp.s, sp.n_valid - 1) - jnp.take(sp.s, hi_i)
+        end_slope = (jnp.take(sp.c, hi_i) + 2.0 * jnp.take(sp.b, hi_i) * h_end
+                     + 3.0 * jnp.take(sp.a, hi_i) * h_end ** 2)
+        hi_val = jnp.take(sp.y, sp.n_valid - 1) + end_slope * (q - s_hi)
+        return jnp.where(below, lo_val, jnp.where(above, hi_val, val))
+    elif order == 1:
+        val = c + t * (2.0 * b + 3.0 * a * t)
+        lo_val = sp.c[0]
+        hi_i = sp.n_valid - 2
+        h_end = jnp.take(sp.s, sp.n_valid - 1) - jnp.take(sp.s, hi_i)
+        hi_val = (jnp.take(sp.c, hi_i) + 2.0 * jnp.take(sp.b, hi_i) * h_end
+                  + 3.0 * jnp.take(sp.a, hi_i) * h_end ** 2)
+        return jnp.where(below, lo_val, jnp.where(above, hi_val, val))
+    elif order == 2:
+        val = 2.0 * b + 6.0 * a * t
+        return jnp.where(below | above, 0.0, val)
+    raise ValueError(f"order must be 0, 1 or 2, got {order}")
+
+
+def heading(xs: CubicSpline, ys: CubicSpline, q):
+    """Tangent direction of the curve (x(s), y(s)) (reference: tools.cpp:32-36)."""
+    return jnp.arctan2(evaluate(ys, q, 1), evaluate(xs, q, 1))
+
+
+def curvature(xs: CubicSpline, ys: CubicSpline, q):
+    """Signed curvature (reference: tools.cpp:38-44)."""
+    dx = evaluate(xs, q, 1)
+    dy = evaluate(ys, q, 1)
+    ddx = evaluate(xs, q, 2)
+    ddy = evaluate(ys, q, 2)
+    return (dx * ddy - dy * ddx) / (dx * dx + dy * dy) ** 1.5
+
+
+def pad_polyline(x, y, n_pad: int):
+    """Pad a polyline (numpy-side helper is in cli; this one is jax) to length
+    n_pad by continuing the last segment direction with the last spacing.
+    Returns (x, y, s, n_valid) with s the cumulative arc length."""
+    x = jnp.asarray(x)
+    y = jnp.asarray(y)
+    n = x.shape[0]
+    assert n_pad >= n
+    dx = x[-1] - x[-2]
+    dy = y[-1] - y[-2]
+    extra = jnp.arange(1, n_pad - n + 1, dtype=x.dtype)
+    x_pad = jnp.concatenate([x, x[-1] + extra * dx])
+    y_pad = jnp.concatenate([y, y[-1] + extra * dy])
+    seg = jnp.hypot(jnp.diff(x_pad), jnp.diff(y_pad))
+    seg = jnp.maximum(seg, 1e-6)
+    s = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(seg)])
+    return x_pad, y_pad, s, jnp.asarray(n, jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Projections (reference: tools.cpp:66-189)
+# ---------------------------------------------------------------------------
+
+def project_newton(xs: CubicSpline, ys: CubicSpline, tx, ty, max_s, hint_s,
+                   iters: int = 20):
+    """Closest-point projection of (tx, ty) onto the curve by Newton iteration
+    from hint_s (reference: getProjectionByNewton, tools.cpp:98-126). Returns s."""
+    cur = jnp.minimum(hint_s, max_s)
+
+    def body(_, cur):
+        x = evaluate(xs, cur)
+        y = evaluate(ys, cur)
+        dx = evaluate(xs, cur, 1)
+        dy = evaluate(ys, cur, 1)
+        ddx = evaluate(xs, cur, 2)
+        ddy = evaluate(ys, cur, 2)
+        jcb = (x - tx) * dx + (y - ty) * dy
+        hes = dx * dx + (x - tx) * ddx + dy * dy + (y - ty) * ddy
+        return cur - jcb / jnp.where(jnp.abs(hes) < 1e-12, 1e-12, hes)
+
+    cur = jax.lax.fori_loop(0, iters, body, cur)
+    return jnp.minimum(cur, max_s)
+
+
+def project(xs: CubicSpline, ys: CubicSpline, tx, ty, max_s, start_s=0.0,
+            grid: float = 1.0, max_grid_points: int = 256):
+    """Grid pre-scan at `grid` spacing followed by Newton refinement
+    (reference: getProjection, tools.cpp:66-96). Fixed-shape: scans
+    ``max_grid_points`` candidates masked to [start_s, max_s]."""
+    cand = start_s + grid * jnp.arange(max_grid_points, dtype=jnp.float32)
+    valid = cand <= max_s
+    cx = evaluate(xs, cand)
+    cy = evaluate(ys, cand)
+    d2 = (cx - tx) ** 2 + (cy - ty) ** 2
+    d2 = jnp.where(valid, d2, jnp.inf)
+    best = cand[jnp.argmin(d2)]
+    return project_newton(xs, ys, tx, ty, max_s, best)
+
+
+def project_directional_newton(xs: CubicSpline, ys: CubicSpline, tx, ty, angle,
+                               max_s, hint_s, iters: int = 20):
+    """Projection along the ray through (tx, ty) with direction `angle`:
+    minimizes the squared signed distance of the curve point from that ray
+    (reference: getDirectionalProjectionByNewton, tools.cpp:156-189)."""
+    v1 = jnp.sin(angle)
+    v2 = -jnp.cos(angle)
+    cur = jnp.minimum(hint_s, max_s)
+
+    def body(_, cur):
+        x = evaluate(xs, cur)
+        y = evaluate(ys, cur)
+        dx = evaluate(xs, cur, 1)
+        dy = evaluate(ys, cur, 1)
+        ddx = evaluate(xs, cur, 2)
+        ddy = evaluate(ys, cur, 2)
+        p1 = v1 * (x - tx) + v2 * (y - ty)
+        p2 = v1 * dx + v2 * dy
+        jcb = p1 * p2
+        hes = p1 * (v1 * ddx + v2 * ddy) + p2 * p2
+        return cur - jcb / jnp.where(jnp.abs(hes) < 1e-12, 1e-12, hes)
+
+    cur = jax.lax.fori_loop(0, iters, body, cur)
+    return jnp.minimum(cur, max_s)
