@@ -1,0 +1,197 @@
+"""Batched JAX ADMM QP solver with OSQP semantics (dense reduced KKT).
+
+Solves  min 0.5 x^T P x + q^T x  s.t.  l <= A x <= u  following the OSQP
+algorithm (the solver behind every QP in the reference — base_solver.cpp:80-88,
+tension_smoother.cpp:74-82, reference_path_smoother.cpp:546-553):
+
+- modified Ruiz equilibration + cost scaling (fixed iteration count),
+- relaxed ADMM (alpha=1.6, sigma=1e-6) on the reduced normal equations
+  M = P + sigma I + A^T diag(rho) A, factored by dense Cholesky,
+- per-constraint rho with 1e3 boost on equality rows and adaptive rho
+  (refactor when the primal/dual residual ratio drifts >5x),
+- OSQP termination on unscaled residuals (eps_abs/eps_rel), warm starting.
+
+The function is a pure jittable computation on fixed shapes; batch by ``vmap``
+(converged elements are frozen so early finishers don't drift while stragglers
+iterate). Dense factorization is the right call for the smoothing QPs
+(hundreds of variables); the lateral path QP uses the block-tridiagonal
+structured path in ``tpu_pathopt.qp.btridiag`` instead.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+INFTY = 1e20
+
+
+@dataclasses.dataclass(frozen=True)
+class QPSettings:
+    eps_abs: float = 2e-3
+    eps_rel: float = 2e-3
+    max_iter: int = 4000
+    sigma: float = 1e-6
+    alpha: float = 1.6
+    rho_bar: float = 0.1
+    scaling_iters: int = 10
+    check_every: int = 25
+    adaptive_rho: bool = True
+
+
+@flax.struct.dataclass
+class QPSolution:
+    x: jax.Array
+    y: jax.Array
+    z: jax.Array
+    iters: jax.Array
+    converged: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+
+
+def _ruiz(P, q, A, iters):
+    nv = P.shape[0]
+    nc = A.shape[0]
+    dt = P.dtype
+    D = jnp.ones(nv, dt)
+    E = jnp.ones(nc, dt)
+    c = jnp.asarray(1.0, dt)
+
+    def body(_, carry):
+        P, q, A, D, E, c = carry
+        col = jnp.maximum(jnp.max(jnp.abs(P), axis=0), jnp.max(jnp.abs(A), axis=0))
+        row = jnp.max(jnp.abs(A), axis=1)
+        d = jnp.clip(1.0 / jnp.sqrt(jnp.maximum(col, 1e-12)), 1e-8, 1e8)
+        e = jnp.clip(1.0 / jnp.sqrt(jnp.maximum(row, 1e-12)), 1e-8, 1e8)
+        P = d[:, None] * P * d[None, :]
+        A = e[:, None] * A * d[None, :]
+        q = d * q
+        D = D * d
+        E = E * e
+        p_mean = jnp.mean(jnp.max(jnp.abs(P), axis=0))
+        g = 1.0 / jnp.maximum(jnp.maximum(p_mean, jnp.max(jnp.abs(q))), 1e-12)
+        g = jnp.clip(g, 1e-8, 1e8)
+        return P * g, q * g, A, D, E, c * g
+
+    P, q, A, D, E, c = jax.lax.fori_loop(
+        0, iters, body, (P, q, A, D, E, c))
+    return P, q, A, D, E, c
+
+
+def _make_rho(rho_bar, eq, loose):
+    rho = jnp.where(eq, rho_bar * 1e3, rho_bar)
+    return jnp.where(loose, rho_bar * 1e-6, rho)
+
+
+def _factor(Ps, As, rho, sigma):
+    nv = Ps.shape[0]
+    M = Ps + sigma * jnp.eye(nv, dtype=Ps.dtype) + As.T @ (rho[:, None] * As)
+    return jnp.linalg.cholesky(M)
+
+
+def _chol_solve(L, b):
+    w = jax.scipy.linalg.solve_triangular(L, b, lower=True)
+    return jax.scipy.linalg.solve_triangular(L.T, w, lower=False)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def solve_qp(P, q, A, l, u, x0=None, y0=None,
+             settings: QPSettings = QPSettings()) -> QPSolution:
+    """Solve one QP (unbatched shapes; vmap for batches)."""
+    st = settings
+    dt = P.dtype
+    nv = P.shape[0]
+    nc = A.shape[0]
+
+    Ps, qs, As, D, E, c = _ruiz(P, q, A, st.scaling_iters)
+    ls = E * jnp.clip(l, -INFTY, INFTY)
+    us = E * jnp.clip(u, -INFTY, INFTY)
+    eq = (u - l) < 1e-9
+    loose = (l < -0.5 * INFTY) & (u > 0.5 * INFTY)
+
+    rho_bar0 = jnp.asarray(st.rho_bar, dt)
+    rho0 = _make_rho(rho_bar0, eq, loose)
+    L0 = _factor(Ps, As, rho0, st.sigma)
+
+    x = jnp.zeros(nv, dt) if x0 is None else x0 / D
+    y = jnp.zeros(nc, dt) if y0 is None else y0 * E / c
+    z = As @ x
+
+    n_rounds = -(-st.max_iter // st.check_every)
+
+    def admm_round(carry):
+        x, z, y, rho, L, rho_bar, it, conv, pri, dua = carry
+
+        def step(_, xyz):
+            x, z, y = xyz
+            rhs = st.sigma * x - qs + As.T @ (rho * z - y)
+            xt = _chol_solve(L, rhs)
+            zt = As @ xt
+            x_new = st.alpha * xt + (1 - st.alpha) * x
+            z_tmp = st.alpha * zt + (1 - st.alpha) * z + y / rho
+            z_new = jnp.clip(z_tmp, ls, us)
+            y_new = rho * (z_tmp - z_new)
+            return x_new, z_new, y_new
+
+        x_n, z_n, y_n = jax.lax.fori_loop(0, st.check_every, step, (x, z, y))
+        # Freeze converged problems.
+        x = jnp.where(conv, x, x_n)
+        z = jnp.where(conv, z, z_n)
+        y = jnp.where(conv, y, y_n)
+        it = jnp.where(conv, it, it + st.check_every)
+
+        # Unscaled residuals.
+        x_u = D * x
+        z_u = z / E
+        y_u = (E * y) / c
+        Ax = A @ x_u
+        Px = P @ x_u
+        Aty = A.T @ y_u
+        pri_res = jnp.max(jnp.abs(Ax - z_u))
+        dua_res = jnp.max(jnp.abs(Px + q + Aty))
+        eps_pri = st.eps_abs + st.eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z_u)))
+        eps_dua = st.eps_abs + st.eps_rel * jnp.maximum(
+            jnp.maximum(jnp.max(jnp.abs(Px)), jnp.max(jnp.abs(Aty))),
+            jnp.max(jnp.abs(q)))
+        conv_new = conv | ((pri_res <= eps_pri) & (dua_res <= eps_dua))
+
+        # Adaptive rho (only for unconverged).
+        if st.adaptive_rho:
+            num = pri_res / jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(Ax)), jnp.max(jnp.abs(z_u))), 1e-12)
+            den = dua_res / jnp.maximum(jnp.maximum(
+                jnp.max(jnp.abs(Px)), jnp.maximum(jnp.max(jnp.abs(Aty)),
+                                                  jnp.max(jnp.abs(q)))), 1e-12)
+            ratio = jnp.sqrt(num / jnp.maximum(den, 1e-12))
+            need = (~conv_new) & ((ratio > 5.0) | (ratio < 0.2))
+            rho_bar_new = jnp.where(
+                need, jnp.clip(rho_bar * ratio, 1e-6, 1e6), rho_bar)
+            rho_new = _make_rho(rho_bar_new, eq, loose)
+            L_new = jax.lax.cond(
+                need,
+                lambda: _factor(Ps, As, rho_new, st.sigma),
+                lambda: L)
+            # Rescale dual-ish variable y? OSQP keeps y; only rho changes.
+            rho = jnp.where(need, rho_new, rho)
+            L, rho_bar = L_new, rho_bar_new
+
+        return (x, z, y, rho, L, rho_bar, it, conv_new,
+                jnp.where(conv, pri, pri_res), jnp.where(conv, dua, dua_res))
+
+    def cond(carry):
+        *_, it, conv, _p, _d = carry
+        return (~conv) & (it < st.max_iter)
+
+    init = (x, z, y, rho0, L0, rho_bar0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt))
+    x, z, y, rho, L, rho_bar, it, conv, pri, dua = jax.lax.while_loop(
+        cond, admm_round, init)
+
+    return QPSolution(x=D * x, y=(E * y) / c, z=z / E, iters=it,
+                      converged=conv, pri_res=pri, dua_res=dua)

@@ -1,0 +1,140 @@
+"""Structured ADMM solver for the lateral path QP.
+
+Same OSQP-semantics ADMM as ``tpu_pathopt.qp.admm`` (relaxation, per-row rho
+with equality boost, adaptive rho, unscaled-residual termination — matching
+the settings of base_solver.cpp:59-62), but all linear algebra is structured:
+
+- A / A^T products are per-knot einsums (no cons x vars matrix is ever built —
+  the reference materializes a dense one and sparsifies it, base_solver.cpp:159),
+- the reduced normal matrix M = P + sigma I + A^T rho A is assembled directly
+  in block-tridiagonal form and factored with the ``qp.btridiag`` scan kernels,
+  O(N) instead of O(N^3).
+
+Warm starting across the two SQP passes mirrors OSQP's warm start
+(base_solver.cpp:60, 97-117): pass 2 reuses (x, y) from pass 1.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from tpu_pathopt.qp.admm import QPSettings
+from tpu_pathopt.qp import btridiag
+from tpu_pathopt.solver import assembly
+from tpu_pathopt.solver.assembly import PathQP
+
+
+@flax.struct.dataclass
+class PathQPSolution:
+    v: jax.Array           # (N, 6) per-knot [l, e_psi, kappa, u, s_f, s_r]
+    y_knot: jax.Array      # (N, 6) duals in the z layout
+    y_end: jax.Array       # (2,)
+    iters: jax.Array
+    converged: jax.Array
+    pri_res: jax.Array
+    dua_res: jax.Array
+
+
+def _inf_norm2(a, b):
+    return jnp.maximum(jnp.max(jnp.abs(a)), jnp.max(jnp.abs(b)))
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def solve_path_qp(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
+                  settings: QPSettings = QPSettings()) -> PathQPSolution:
+    st = settings
+    N = qp.p_diag.shape[0]
+    dt = qp.p_diag.dtype
+
+    lb_knot, ub_knot, lb_end, ub_end = assembly.bounds(qp)
+    cls_knot, cls_end = assembly.rho_classes(qp)
+
+    def factor(rho_bar):
+        rk = rho_bar * cls_knot
+        re = rho_bar * cls_end
+        diag, off = assembly.normal_blocks(qp, rk, re, st.sigma)
+        C, W = btridiag.factor(diag, off)
+        return rk, re, C, W
+
+    rho_bar0 = jnp.asarray(st.rho_bar, dt)
+    rk0, re0, C0, W0 = factor(rho_bar0)
+
+    v = jnp.zeros((N, assembly.NB), dt) if v0 is None else v0
+    yk = jnp.zeros((N, 6), dt) if y0_knot is None else y0_knot
+    ye = jnp.zeros((2,), dt) if y0_end is None else y0_end
+    zk, ze = assembly.a_mul(qp, v)
+
+    def admm_round(carry):
+        v, zk, ze, yk, ye, rk, re, C, W, rho_bar, it, conv, pri, dua = carry
+
+        def step(_, state):
+            v, zk, ze, yk, ye = state
+            rhs = (st.sigma * v
+                   + assembly.at_mul(qp, rk * zk - yk, re * ze - ye))
+            vt = btridiag.solve(C, W, rhs)
+            ztk, zte = assembly.a_mul(qp, vt)
+            v_new = st.alpha * vt + (1 - st.alpha) * v
+            ztmp_k = st.alpha * ztk + (1 - st.alpha) * zk + yk / rk
+            ztmp_e = st.alpha * zte + (1 - st.alpha) * ze + ye / re
+            zk_new = jnp.clip(ztmp_k, lb_knot, ub_knot)
+            ze_new = jnp.clip(ztmp_e, lb_end, ub_end)
+            yk_new = rk * (ztmp_k - zk_new)
+            ye_new = re * (ztmp_e - ze_new)
+            return v_new, zk_new, ze_new, yk_new, ye_new
+
+        v_n, zk_n, ze_n, yk_n, ye_n = jax.lax.fori_loop(
+            0, st.check_every, step, (v, zk, ze, yk, ye))
+        v = jnp.where(conv, v, v_n)
+        zk = jnp.where(conv, zk, zk_n)
+        ze = jnp.where(conv, ze, ze_n)
+        yk = jnp.where(conv, yk, yk_n)
+        ye = jnp.where(conv, ye, ye_n)
+        it = jnp.where(conv, it, it + st.check_every)
+
+        # Residuals (the problem is built unscaled).
+        Avk, Ave = assembly.a_mul(qp, v)
+        pv = qp.p_diag * v
+        Aty = assembly.at_mul(qp, yk, ye)
+        pri_res = _inf_norm2(Avk - zk, Ave - ze)
+        dua_res = jnp.max(jnp.abs(pv + Aty))
+        eps_pri = st.eps_abs + st.eps_rel * jnp.maximum(
+            _inf_norm2(Avk, Ave), _inf_norm2(zk, ze))
+        eps_dua = st.eps_abs + st.eps_rel * jnp.maximum(
+            jnp.max(jnp.abs(pv)), jnp.max(jnp.abs(Aty)))
+        conv_new = conv | ((pri_res <= eps_pri) & (dua_res <= eps_dua))
+
+        if st.adaptive_rho:
+            num = pri_res / jnp.maximum(
+                jnp.maximum(_inf_norm2(Avk, Ave), _inf_norm2(zk, ze)), 1e-12)
+            den = dua_res / jnp.maximum(
+                jnp.maximum(jnp.max(jnp.abs(pv)), jnp.max(jnp.abs(Aty))), 1e-12)
+            ratio = jnp.sqrt(num / jnp.maximum(den, 1e-12))
+            need = (~conv_new) & ((ratio > 5.0) | (ratio < 0.2))
+            rho_bar_new = jnp.where(
+                need, jnp.clip(rho_bar * ratio, 1e-6, 1e6), rho_bar)
+            rk_n, re_n, C_n, W_n = factor(rho_bar_new)
+            rk = jnp.where(need, rk_n, rk)
+            re = jnp.where(need, re_n, re)
+            C = jnp.where(need, C_n, C)
+            W = jnp.where(need, W_n, W)
+            rho_bar = rho_bar_new
+
+        return (v, zk, ze, yk, ye, rk, re, C, W, rho_bar, it, conv_new,
+                jnp.where(conv, pri, pri_res), jnp.where(conv, dua, dua_res))
+
+    def cond(carry):
+        it, conv = carry[10], carry[11]
+        return (~conv) & (it < st.max_iter)
+
+    init = (v, zk, ze, yk, ye, rk0, re0, C0, W0, rho_bar0,
+            jnp.asarray(0, jnp.int32), jnp.asarray(False),
+            jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt))
+    out = jax.lax.while_loop(cond, admm_round, init)
+    v, zk, ze, yk, ye = out[:5]
+    it, conv, pri, dua = out[10], out[11], out[12], out[13]
+    return PathQPSolution(v=v, y_knot=yk, y_end=ye, iters=it, converged=conv,
+                          pri_res=pri, dua_res=dua)
