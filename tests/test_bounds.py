@@ -1,0 +1,79 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_pathopt import bounds, maps, splines
+from tpu_pathopt.config import PlannerConfig
+from tpu_pathopt.refpath import RefStates, build_reference_from_spline
+
+
+def _corridor_map(res=0.1, half_width=5.0, size=200):
+    """Free strip |y| < half_width between two solid walls, x spans the map."""
+    mask = np.zeros((size, size), bool)
+    # grid_map convention: col 0 -> max y; y = (size/2 - 0.5 - j) * res
+    ys = (0.5 * size - 0.5 - np.arange(size)) * res
+    mask[:, np.abs(ys) >= half_width] = True
+    return maps.build_map(jnp.asarray(mask), resolution=res)
+
+
+def test_clearance_strict_straight_corridor():
+    cfg = PlannerConfig()
+    gm = _corridor_map()
+    # State at origin, heading +x: walls at y=±5 (ESDF ~ 5 - |y|).
+    left, right = bounds.clearance_strict(
+        gm, jnp.asarray(0.0), jnp.asarray(0.0), jnp.asarray(0.0), cfg)
+    # March stops at 4.5 m (clearance < 0.5 beyond); minus (car_width/2 - 0.5)
+    # = 0.5; minus safety margin 0.3 -> ±3.7.
+    np.testing.assert_allclose(float(left), 3.7, atol=0.15)
+    np.testing.assert_allclose(float(right), -3.7, atol=0.15)
+
+
+def test_clearance_strict_in_collision_returns_zero():
+    cfg = PlannerConfig()
+    gm = _corridor_map()
+    # State inside the wall.
+    left, right = bounds.clearance_strict(
+        gm, jnp.asarray(0.0), jnp.asarray(6.0), jnp.asarray(0.0), cfg)
+    assert float(left) == 0.0 and float(right) == 0.0
+
+
+def test_update_bounds_straight_reference():
+    cfg = PlannerConfig(n_knots=64)
+    gm = _corridor_map()
+    # Straight reference along x from -8 to 4 at y = 0 (front axle stays
+    # inside the map; beyond the map edge distance = 0 -> blocked).
+    s = np.linspace(0, 12, 30)
+    xs = splines.fit_natural(jnp.asarray(s), jnp.asarray(s - 8.0))
+    ys = splines.fit_natural(jnp.asarray(s), jnp.zeros(30))
+    ref = build_reference_from_spline(xs, ys, jnp.asarray(12.0), 64, cfg)
+    cb = bounds.update_bounds(gm, xs, ys, ref, cfg)
+    assert not bool(cb.blocked)
+    nv = int(cb.n_valid)
+    assert nv == int(ref.n_valid)
+    f_ub = np.asarray(cb.front_ub)[: nv - 2]
+    f_lb = np.asarray(cb.front_lb)[: nv - 2]
+    np.testing.assert_allclose(f_ub, 3.75, atol=0.2)
+    np.testing.assert_allclose(f_lb, -3.75, atol=0.2)
+
+
+def test_update_bounds_blocked():
+    cfg = PlannerConfig(n_knots=64)
+    res = 0.1
+    size = 200
+    mask = np.zeros((size, size), bool)
+    ys_w = (0.5 * size - 0.5 - np.arange(size)) * res
+    mask[:, np.abs(ys_w) >= 5.0] = True
+    # Solid wall across the corridor at x = 4.
+    xs_w = (0.5 * size - 0.5 - np.arange(size)) * res
+    mask[np.abs(xs_w - 4.0) < 0.3, :] = True
+    gm = maps.build_map(jnp.asarray(mask), resolution=res)
+    s = np.linspace(0, 12, 30)
+    xs = splines.fit_natural(jnp.asarray(s), jnp.asarray(s - 8.0))
+    ys = splines.fit_natural(jnp.asarray(s), jnp.zeros(30))
+    ref = build_reference_from_spline(xs, ys, jnp.asarray(12.0), 64, cfg)
+    cb = bounds.update_bounds(gm, xs, ys, ref, cfg)
+    assert bool(cb.blocked)
+    # Truncated before the wall: the valid knots end before x = 4 (s = 12).
+    assert int(cb.n_valid) < int(ref.n_valid)
+    s_blocked = float(ref.s[int(cb.n_valid)])
+    assert 6.0 < s_blocked < 12.5  # front axle (3.9 m ahead) hits the wall early

@@ -1,0 +1,162 @@
+"""Collision-bound extraction from the ESDF.
+
+TPU-native re-design of ``updateBoundsImproved`` and
+``getClearanceWithDirectionStrict`` (reference:
+src/data_struct/reference_path_impl.cpp:177-312): for every sampled reference
+state, ray-march the distance field left and right along the path normal to
+find the drivable lateral corridor at the front axle, rear axle and center,
+then truncate the horizon at the first zero-width corridor (blocked path).
+
+Every data-dependent while-loop of the reference becomes a fixed-iteration
+masked reduction (coarse 0.3 m steps to 6 m, then 0.05 m refinement — the
+reference's exact schedule), vectorized over knots; ``vmap`` adds the scenario
+batch axis.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from tpu_pathopt import maps, splines
+from tpu_pathopt.config import PlannerConfig
+from tpu_pathopt.geometry import global_to_local
+from tpu_pathopt.refpath import CorridorBounds, RefStates
+
+_COARSE_DS = 0.3
+_FINE_DS = 0.05
+_SEARCH_RADIUS = 0.5
+_COARSE_STEPS = 20        # 6.0 m / 0.3 m
+_FINE_STEPS = 5           # int(0.3/0.05) - 1
+
+
+def _march(gm: maps.GridMap, x, y, angle, steps: int, ds: float):
+    """Number of consecutive steps (1-based positions i*ds) whose clearance
+    stays >= the search radius before the first violation. Shapes broadcast
+    over x/y/angle."""
+    i = jnp.arange(1, steps + 1, dtype=jnp.float32)
+    px = x[..., None] + i * ds * jnp.cos(angle)[..., None]
+    py = y[..., None] + i * ds * jnp.sin(angle)[..., None]
+    clear = maps.obstacle_distance(gm, px, py)
+    bad = clear < _SEARCH_RADIUS
+    # index of first violation; steps if none
+    return jnp.argmax(
+        jnp.concatenate([bad, jnp.ones_like(bad[..., :1], bool)], -1)
+        .astype(jnp.int32), axis=-1)
+
+
+def clearance_strict(gm: maps.GridMap, x, y, heading, config: PlannerConfig):
+    """Lateral (left, right) drivable bounds at a state, reference semantics
+    (getClearanceWithDirectionStrict, reference_path_impl.cpp:232-312).
+    Vectorized over any leading shape. Returns (left_bound, right_bound) with
+    left >= right, or (0, 0) when the state itself is in collision or the
+    corridor collapses.
+
+    Known deviation: the reference's fine refinement of the *right* side
+    (:289-299) multiplies an already-negative ``right_bound`` by the
+    right-direction unit vector, so it actually probes mirrored positions on
+    the LEFT side of the path. We refine each side along its own direction
+    (geometrically correct); worst-case difference vs the reference is the
+    0.25 m refinement span on the right bound."""
+    left_angle = heading + jnp.pi / 2
+    right_angle = heading - jnp.pi / 2
+
+    origin_clear = maps.obstacle_distance(gm, x, y)
+    ok = origin_clear > _SEARCH_RADIUS
+
+    # Coarse march: reference breaks at the first step with clearance < 0.5
+    # and keeps bound = (last good step) * ds; no break -> (steps-1)*ds.
+    left_hits = _march(gm, x, y, left_angle, _COARSE_STEPS, _COARSE_DS)
+    right_hits = _march(gm, x, y, right_angle, _COARSE_STEPS, _COARSE_DS)
+
+    def coarse_bound(hits):
+        # Break at step j (0-based position (j+1)*ds) -> bound j*ds;
+        # no break -> (steps-1)*ds (the reference subtracts a step either way
+        # since right_s has already been incremented, :249-271).
+        return jnp.where(hits < _COARSE_STEPS,
+                         hits.astype(jnp.float32) * _COARSE_DS,
+                         (_COARSE_STEPS - 1) * _COARSE_DS)
+
+    left_b = coarse_bound(left_hits)
+    right_b = coarse_bound(right_hits)
+
+    # Fine refinement forward from the coarse bound (reference :276-299).
+    def refine(base, angle):
+        i = jnp.arange(1, _FINE_STEPS + 1, dtype=jnp.float32)
+        px = x[..., None] + (base[..., None] + i * _FINE_DS) * jnp.cos(angle)[..., None]
+        py = y[..., None] + (base[..., None] + i * _FINE_DS) * jnp.sin(angle)[..., None]
+        clear = maps.obstacle_distance(gm, px, py)
+        bad = clear < _SEARCH_RADIUS
+        good = jnp.argmax(
+            jnp.concatenate([bad, jnp.ones_like(bad[..., :1], bool)], -1)
+            .astype(jnp.int32), axis=-1)
+        return base + jnp.minimum(good, _FINE_STEPS).astype(jnp.float32) * _FINE_DS
+
+    left_b = refine(left_b, left_angle)
+    right_b = refine(right_b, right_angle)
+
+    diff_radius = config.car_width * 0.5 - _SEARCH_RADIUS
+    left = left_b - diff_radius
+    right = -(right_b - diff_radius)
+    collapsed = left < right
+
+    # Hard safety margin, capped so >= 0.2 m of corridor remains (:304-311).
+    space = left - right
+    max_margin = jnp.maximum(0.0, (space - 0.2) / 2.0)
+    margin = jnp.minimum(config.safety_margin, max_margin)
+    left = left - margin
+    right = right + margin
+
+    zero = jnp.zeros_like(left)
+    invalid = (~ok) | collapsed
+    return jnp.where(invalid, zero, left), jnp.where(invalid, zero, right)
+
+
+def update_bounds(gm: maps.GridMap, xs: splines.CubicSpline,
+                  ys: splines.CubicSpline, ref: RefStates,
+                  config: PlannerConfig) -> CorridorBounds:
+    """Per-knot corridor at front/rear axle centers projected onto the spline
+    (updateBoundsImproved, reference_path_impl.cpp:177-230) + blocked horizon
+    truncation."""
+    cfg = config
+    eps = cfg.epsilon
+
+    def axle_bounds(length):
+        cx = ref.x + length * jnp.cos(ref.heading)
+        cy = ref.y + length * jnp.sin(ref.heading)
+        # Directional Newton projection of the axle center onto the spline
+        # along the state normal (reference :192-205).
+        max_s = ref.s + 5.0
+        hint = ref.s + length
+        proj_s = jax.vmap(
+            lambda tx, ty, ang, ms, hs: splines.project_directional_newton(
+                xs, ys, tx, ty, ang, ms, hs)
+        )(cx, cy, ref.heading + jnp.pi / 2, max_s, hint)
+        px = splines.evaluate(xs, proj_s)
+        py = splines.evaluate(ys, proj_s)
+        # Clearance at the projected point, with the *state* heading (:206).
+        left, right = clearance_strict(gm, px, py, ref.heading, cfg)
+        # Shift into the axle-center frame (:209-215): offset = lateral
+        # coordinate of the projected point in the axle-center frame.
+        _, off, _ = global_to_local(cx, cy, ref.heading, px, py)
+        return left + off, right + off
+
+    front_ub, front_lb = axle_bounds(cfg.front_length)
+    rear_ub, rear_lb = axle_bounds(cfg.rear_length)
+    center_ub, center_lb = clearance_strict(gm, ref.x, ref.y, ref.heading, cfg)
+
+    # Blocked detection: zero-width front or rear corridor (:220-229).
+    zero_width = (jnp.abs(front_ub - front_lb) < eps) | \
+                 (jnp.abs(rear_ub - rear_lb) < eps)
+    zero_width = zero_width & ref.mask
+    any_blocked = jnp.any(zero_width)
+    first_blocked = jnp.argmax(zero_width.astype(jnp.int32))
+    n_valid = jnp.where(any_blocked,
+                        jnp.minimum(ref.n_valid, first_blocked),
+                        ref.n_valid)
+
+    return CorridorBounds(
+        front_lb=front_lb, front_ub=front_ub,
+        rear_lb=rear_lb, rear_ub=rear_ub,
+        center_lb=center_lb, center_ub=center_ub,
+        blocked=any_blocked, n_valid=n_valid.astype(jnp.int32))
