@@ -1,0 +1,215 @@
+"""DP corridor search over the Frenet lattice.
+
+TPU-native re-design of ``graphSearchDp`` (reference:
+src/reference_path_smoother/reference_path_smoother.cpp:142-295): sample a
+lattice of lateral offsets on longitudinal layers along the smoothed reference,
+run a dynamic program with obstacle/deviation/angle-change costs
+(calculateCostAt, :107-140), backtrack the cheapest node in the deepest
+reachable layer, and widen each backtracked node's lateral corridor by
+ESDF ray-marching (:250-287). The resulting per-layer (lower, upper) corridor
+feeds the post-smoothing QP.
+
+Everything is fixed-shape: L static layers x K static laterals, a ``lax.scan``
+over layers for the DP (the lateral dimension is fully vectorized, K x K edge
+costs per step), a reverse scan for backtracking, and masked fixed-iteration
+marches for the corridor expansion. The A* variant of the reference
+(graphSearch, :297-484) is dead code there — only the DP path is rebuilt.
+"""
+
+from __future__ import annotations
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+
+from tpu_pathopt import maps, splines
+from tpu_pathopt.config import PlannerConfig
+from tpu_pathopt.geometry import constrain_angle, global_to_local, normal_offset
+
+_INF = 1e30
+_CHECK_S = 0.2
+_CHECK_LIMIT = 6.0
+_EXPAND_STEPS = 64  # covers (6 - (-10)) / 0.2 with margin
+
+
+@flax.struct.dataclass
+class Corridor:
+    layers_s: jax.Array    # (L,)
+    lower: jax.Array       # (L,)
+    upper: jax.Array       # (L,)
+    n_layers: jax.Array    # () int32 — valid layers (deepest reached + 1)
+    vehicle_l: jax.Array   # () lateral offset of the vehicle wrt smoothed ref
+    ok: jax.Array          # () bool
+
+
+def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
+                    ys: splines.CubicSpline, length, start_x, start_y,
+                    start_heading, config: PlannerConfig) -> Corridor:
+    cfg = config
+    L = cfg.dp_layers
+    K = cfg.dp_laterals
+    lat_range = cfg.search_lateral_range
+    lat_ds = cfg.search_lateral_spacing
+    dt = jnp.float32
+
+    # --- Layer longitudinal positions (:148-158) ---
+    proj_s = splines.project(xs, ys, start_x, start_y, length)
+    search_ds = jnp.where(length > 6.0, cfg.search_longitudinal_spacing, 0.5)
+    j = jnp.arange(L, dtype=dt)
+    n_interior = jnp.ceil((length - proj_s) / search_ds -
+                          1e-6).astype(jnp.int32)
+    n_layers = jnp.clip(n_interior + 1, 1, L)
+    layers_s = jnp.where(j < (n_layers - 1).astype(dt),
+                         proj_s + j * search_ds, length)
+
+    # --- Vehicle lateral offset wrt the smoothed reference (:160-169) ---
+    px = splines.evaluate(xs, proj_s)
+    py = splines.evaluate(ys, proj_s)
+    ph = splines.heading(xs, ys, proj_s)
+    _, vehicle_l, _ = global_to_local(px, py, ph, start_x, start_y)
+    ok = jnp.abs(vehicle_l) <= lat_range
+    start_idx = ((lat_range + vehicle_l) / lat_ds).astype(jnp.int32)
+    start_idx = jnp.clip(start_idx, 0, K - 1)
+
+    # --- Lattice nodes (:171-226) ---
+    lat = -lat_range + lat_ds * jnp.arange(K, dtype=dt)      # (K,)
+    ref_x = splines.evaluate(xs, layers_s)                    # (L,)
+    ref_y = splines.evaluate(ys, layers_s)
+    ref_h = splines.heading(xs, ys, layers_s)
+    ref_k = splines.curvature(xs, ys, layers_s)
+    node_x, node_y = normal_offset(ref_x[:, None], ref_y[:, None],
+                                   ref_h[:, None], lat[None, :])   # (L, K)
+    inside = maps.is_inside(gm, node_x, node_y)
+    dis = jnp.where(inside, maps.obstacle_distance(gm, node_x, node_y), -1.0)
+    threshold = cfg.car_width / 2.0 + 0.2
+    ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9, 1e-9, ref_k)
+    radius_bad = ((ref_k[:, None] < 0) & (lat[None, :] < ref_r[:, None])) | \
+                 ((ref_k[:, None] > 0) & (lat[None, :] > ref_r[:, None]))
+    feasible = ~(radius_bad | (dis < threshold))
+    # Layer 0: only the start node, forced feasible (:200-205).
+    k_idx = jnp.arange(K)
+    feasible = feasible.at[0].set(k_idx == start_idx)
+
+    # --- Rough per-layer bounds: hold-scan over the lateral axis (:210-226) ---
+    def hold_scan(feas, vals, reverse):
+        def step(carry, inp):
+            f_prev, b_prev = carry
+            f, v = inp
+            b = jnp.where(f_prev & f, b_prev, v)
+            return (f, b), b
+        xs_in = (feas.T, vals.T) if not reverse else (feas[:, ::-1].T,
+                                                      vals[:, ::-1].T)
+        (_, _), out = jax.lax.scan(
+            step, (jnp.zeros_like(feas[:, 0]), vals[:, 0] * 0.0), xs_in)
+        out = out.T
+        return out if not reverse else out[:, ::-1]
+
+    lat_grid = jnp.broadcast_to(lat, (L, K))
+    rough_lb = hold_scan(feasible, lat_grid, reverse=False)
+    rough_ub = hold_scan(feasible, lat_grid, reverse=True)
+
+    # --- DP over layers (:228-238 + calculateCostAt :107-140) ---
+    safe_dist = cfg.dp_safe_distance
+    self_cost = jnp.where(dis < safe_dist,
+                          (safe_dist - dis) / safe_dist * cfg.dp_weight_obstacle,
+                          0.0)
+    self_cost = self_cost + jnp.abs(lat)[None, :] / lat_range \
+        * cfg.dp_weight_ref_offset
+
+    cost0 = jnp.where(k_idx == start_idx, 0.0, _INF)
+    dir0 = jnp.full((K,), start_heading, dt)
+
+    def dp_step(carry, inp):
+        cost_p, dir_p, x_p, y_p, s_p, alive = carry
+        feas_l, self_l, x_l, y_l, s_l, h_l = inp
+        # (K_prev, K) edge candidates.
+        dxy_x = x_l[None, :] - x_p[:, None]
+        dxy_y = y_l[None, :] - y_p[:, None]
+        direction = jnp.arctan2(dxy_y, dxy_x)
+        edge = (jnp.abs(constrain_angle(direction - dir_p[:, None]))
+                / (jnp.pi / 2) * cfg.dp_weight_angle_change
+                + jnp.abs(constrain_angle(direction - h_l))
+                / (jnp.pi / 2) * cfg.dp_weight_ref_angle_diff)
+        lat_ok = jnp.abs(lat[None, :] - lat[:, None]) <= (s_l - s_p)
+        total = cost_p[:, None] + edge + self_l[None, :]
+        total = jnp.where(lat_ok, total, _INF)
+        total = jnp.where(feas_l[None, :], total, _INF)
+        best_prev = jnp.argmin(total, axis=0)                  # (K,)
+        best_cost = jnp.take_along_axis(total, best_prev[None, :], 0)[0]
+        best_dir = jnp.take_along_axis(direction, best_prev[None, :], 0)[0]
+        layer_alive = alive & jnp.any(best_cost < _INF)
+        cost_n = jnp.where(layer_alive, best_cost, _INF)
+        dir_n = jnp.where(best_cost < _INF, best_dir, h_l)
+        # Keep the previous frontier if this layer is dead (so deeper layers
+        # stay dead too — costs all _INF).
+        return ((cost_n, dir_n, x_l, y_l, s_l, layer_alive),
+                (cost_n, best_prev, layer_alive))
+
+    init = (cost0, dir0, node_x[0], node_y[0], layers_s[0], jnp.asarray(True))
+    in_mask = jnp.arange(1, L) < n_layers
+    feas_in = feasible[1:] & in_mask[:, None]
+    _, (costs, parents, alives) = jax.lax.scan(
+        dp_step, init,
+        (feas_in, self_cost[1:], node_x[1:], node_y[1:], layers_s[1:],
+         ref_h[1:]))
+    costs = jnp.concatenate([cost0[None], costs])              # (L, K)
+    parents = jnp.concatenate([jnp.zeros((1, K), jnp.int32), parents])
+    alives = jnp.concatenate([jnp.asarray([True]), alives])    # (L,)
+
+    max_layer = jnp.max(jnp.where(alives & (jnp.arange(L) < n_layers),
+                                  jnp.arange(L), 0))
+
+    # --- Backtrack (:240-287) ---
+    best_k_last = jnp.argmin(costs[max_layer])
+
+    def back_step(k_next, inp):
+        layer_idx, parent_row = inp
+        on_path = layer_idx <= max_layer
+        k = jnp.where(layer_idx == max_layer, best_k_last, k_next)
+        k_prev = parent_row[k]
+        return jnp.where(on_path, k_prev, k_next), (k, on_path)
+
+    _, (path_k, on_path) = jax.lax.scan(
+        back_step, best_k_last, (jnp.arange(L), parents), reverse=True)
+
+    # --- Corridor expansion around the backtracked nodes (:250-287) ---
+    node_lb = jnp.take_along_axis(rough_lb, path_k[:, None], 1)[:, 0]
+    node_ub = jnp.take_along_axis(rough_ub, path_k[:, None], 1)[:, 0]
+    node_h = ref_h  # node heading := ref heading per layer (:189)
+
+    def expand(base, sign):
+        # March from `base` in steps of sign*0.2 while |pos| < 6 and the ESDF
+        # clearance at the lattice point stays above the threshold; on the
+        # first failure step back once (reference loop semantics :260-283).
+        t = jnp.arange(_EXPAND_STEPS, dtype=dt)
+        cand = base[:, None] + sign * _CHECK_S * t[None, :]    # (L, T)
+        within = (sign * cand) < _CHECK_LIMIT
+        cx, cy = normal_offset(ref_x[:, None], ref_y[:, None],
+                               node_h[:, None], cand)
+        good = maps.is_inside(gm, cx, cy) & \
+            (maps.obstacle_distance(gm, cx, cy) > threshold)
+        fail = within & ~good
+        first_fail = jnp.argmax(
+            jnp.concatenate([fail, jnp.ones((L, 1), bool)], 1).astype(jnp.int32),
+            axis=1)
+        exited = first_fail >= jnp.sum(within.astype(jnp.int32), axis=1)
+        # Fail at step t* -> base + sign*0.2*(t*-1); no fail -> first step
+        # beyond the 6 m limit (loop exits without stepping back).
+        n_within = jnp.sum(within.astype(jnp.int32), axis=1)
+        result_fail = base + sign * _CHECK_S * (first_fail.astype(dt) - 1.0)
+        result_exit = base + sign * _CHECK_S * n_within.astype(dt)
+        return jnp.where(exited, result_exit, result_fail)
+
+    upper = expand(node_ub + _CHECK_S, +1.0)
+    lower = expand(node_lb - _CHECK_S, -1.0)
+    # Layer 0: full range (:251-252).
+    upper = upper.at[0].set(10.0)
+    lower = lower.at[0].set(-10.0)
+    # Mask layers beyond the backtracked path.
+    valid = jnp.arange(L) <= max_layer
+    upper = jnp.where(valid, upper, 0.0)
+    lower = jnp.where(valid, lower, 0.0)
+
+    return Corridor(layers_s=layers_s, lower=lower, upper=upper,
+                    n_layers=(max_layer + 1).astype(jnp.int32),
+                    vehicle_l=vehicle_l.astype(dt), ok=ok)

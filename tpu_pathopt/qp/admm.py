@@ -103,6 +103,11 @@ def _chol_solve(L, b):
 def solve_qp(P, q, A, l, u, x0=None, y0=None,
              settings: QPSettings = QPSettings()) -> QPSolution:
     """Solve one QP (unbatched shapes; vmap for batches)."""
+    with jax.default_matmul_precision("highest"):
+        return _solve_qp_impl(P, q, A, l, u, x0, y0, settings)
+
+
+def _solve_qp_impl(P, q, A, l, u, x0, y0, settings) -> QPSolution:
     st = settings
     dt = P.dtype
     nv = P.shape[0]

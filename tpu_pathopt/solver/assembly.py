@@ -68,7 +68,11 @@ class PathQP:
         return self.p_diag.shape[0]
 
 
-T_CUR = jnp.concatenate([-jnp.eye(3), jnp.zeros((3, 3))], axis=1)  # (3, 6)
+# Host-side (numpy) constant: a module-level device array would be committed
+# to the default backend at import and fetched back during every lowering.
+import numpy as _np
+T_CUR = _np.concatenate([-_np.eye(3, dtype=_np.float32),
+                         _np.zeros((3, 3), _np.float32)], axis=1)  # (3, 6)
 
 
 def soft_bounds(lb, ub, safety_margin, min_clearance=0.1):

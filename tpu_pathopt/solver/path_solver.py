@@ -46,6 +46,12 @@ def _inf_norm2(a, b):
 @functools.partial(jax.jit, static_argnames=("settings",))
 def solve_path_qp(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
                   settings: QPSettings = QPSettings()) -> PathQPSolution:
+    with jax.default_matmul_precision("highest"):
+        return _solve_impl(qp, v0, y0_knot, y0_end, settings)
+
+
+def _solve_impl(qp: PathQP, v0, y0_knot, y0_end,
+                settings: QPSettings) -> PathQPSolution:
     st = settings
     N = qp.p_diag.shape[0]
     dt = qp.p_diag.dtype

@@ -169,6 +169,15 @@ def curvature(xs: CubicSpline, ys: CubicSpline, q):
     return (dx * ddy - dy * ddx) / (dx * dx + dy * dy) ** 1.5
 
 
+def pad_arclength(s, n_valid, step: float = 1.0):
+    """Make a (possibly constant-padded) arc-length array strictly increasing
+    beyond ``n_valid`` so spline fitting stays well-defined on padding."""
+    i = jnp.arange(s.shape[0])
+    s_max = jnp.take(s, n_valid - 1)
+    return jnp.where(i < n_valid, s,
+                     s_max + step * (i - n_valid + 1).astype(s.dtype))
+
+
 def pad_polyline(x, y, n_pad: int):
     """Pad a polyline (numpy-side helper is in cli; this one is jax) to length
     n_pad by continuing the last segment direction with the last spacing.
