@@ -64,13 +64,15 @@ def main():
 
     fn = lambda g, s: pipeline.solve_batch_jit(g, s, cfg)
     out = fn(gm, scs)            # compile + first run
-    out.x.block_until_ready()
+    # NOTE: block_until_ready does not reliably synchronize on the remote
+    # (axon) backend — force a device-to-host transfer instead.
+    np.asarray(out.x)
 
     n_rep = 5
     t0 = time.time()
     for _ in range(n_rep):
         out = fn(gm, scs)
-    out.x.block_until_ready()
+        np.asarray(out.x)
     dt = (time.time() - t0) / n_rep
 
     solves_per_s = batch / dt

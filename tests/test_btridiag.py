@@ -73,3 +73,28 @@ def test_vmapped_factor_solve():
 
     xs = np.asarray(jax.vmap(fs)(dj, oj, bj))
     np.testing.assert_allclose(xs, np.stack(refs), atol=2e-3, rtol=2e-3)
+
+
+def test_batched_and_pscan_solves_match_dense():
+    """solve_batched and solve_batched_pscan (inverted factors) agree with a
+    dense float64 oracle across a batch."""
+    rng = np.random.default_rng(3)
+    B, m, nb = 3, 16, 4
+    diags, offs, bs = [], [], []
+    for _ in range(B):
+        d, o = _random_spd_btd(rng, m=m, nb=nb)
+        diags.append(d)
+        offs.append(o)
+        bs.append(rng.normal(size=(m, nb)))
+    dj = jnp.asarray(np.stack(diags), jnp.float32)
+    oj = jnp.asarray(np.stack(offs), jnp.float32)
+    bj = jnp.asarray(np.stack(bs), jnp.float32)
+    C, W = jax.vmap(btridiag.factor)(dj, oj)
+    Ci, W2 = btridiag.inv_factors(C, W)
+    x_seq = np.asarray(btridiag.solve_batched(Ci, W2, bj))
+    x_par = np.asarray(btridiag.solve_batched_pscan(Ci, W2, bj))
+    for i in range(B):
+        M = np.asarray(btridiag.to_dense(dj[i], oj[i]), np.float64)
+        x_ref = np.linalg.solve(M, bs[i].reshape(-1)).reshape(m, nb)
+        np.testing.assert_allclose(x_seq[i], x_ref, atol=2e-3, rtol=2e-3)
+        np.testing.assert_allclose(x_par[i], x_ref, atol=2e-3, rtol=2e-3)

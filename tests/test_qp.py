@@ -100,3 +100,35 @@ def test_vmap_batch_matches_single():
         single = admm.solve_qp(Ps[i], qs[i], As[i], ls[i], us[i])
         np.testing.assert_allclose(np.asarray(batched.x[i]),
                                    np.asarray(single.x), atol=5e-3)
+
+
+def test_batched_solver_matches_scalar():
+    """solve_qp_batched must agree with the scalar solver and the oracle."""
+    rng = np.random.default_rng(7)
+    probs = [_random_qp(rng) for _ in range(4)]
+    P = jnp.asarray(np.stack([p[0] for p in probs]), jnp.float32)
+    q = jnp.asarray(np.stack([p[1] for p in probs]), jnp.float32)
+    A = jnp.asarray(np.stack([p[2] for p in probs]), jnp.float32)
+    l = jnp.asarray(np.stack([p[3] for p in probs]), jnp.float32)
+    u = jnp.asarray(np.stack([p[4] for p in probs]), jnp.float32)
+    sol = admm.solve_qp_batched(P, q, A, l, u)
+    assert bool(jnp.all(sol.converged))
+    for i, (Pn, qn, An, ln, un) in enumerate(probs):
+        ref = oracle.solve(Pn, qn, An, ln, un)
+        assert ref.status == "solved"
+        np.testing.assert_allclose(np.asarray(sol.x[i]), ref.x,
+                                   atol=5e-2, rtol=5e-2)
+
+
+def test_batched_solver_warm_start():
+    rng = np.random.default_rng(8)
+    probs = [_random_qp(rng) for _ in range(3)]
+    P = jnp.asarray(np.stack([p[0] for p in probs]), jnp.float32)
+    q = jnp.asarray(np.stack([p[1] for p in probs]), jnp.float32)
+    A = jnp.asarray(np.stack([p[2] for p in probs]), jnp.float32)
+    l = jnp.asarray(np.stack([p[3] for p in probs]), jnp.float32)
+    u = jnp.asarray(np.stack([p[4] for p in probs]), jnp.float32)
+    cold = admm.solve_qp_batched(P, q, A, l, u)
+    warm = admm.solve_qp_batched(P, q, A, l, u, x0=cold.x, y0=cold.y)
+    assert bool(jnp.all(warm.converged))
+    assert bool(jnp.all(warm.iters <= cold.iters))

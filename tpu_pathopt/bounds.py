@@ -128,10 +128,9 @@ def update_bounds(gm: maps.GridMap, xs: splines.CubicSpline,
         # along the state normal (reference :192-205).
         max_s = ref.s + 5.0
         hint = ref.s + length
-        proj_s = jax.vmap(
-            lambda tx, ty, ang, ms, hs: splines.project_directional_newton(
-                xs, ys, tx, ty, ang, ms, hs)
-        )(cx, cy, ref.heading + jnp.pi / 2, max_s, hint)
+        proj_s = splines.project_directional_newton(
+            xs, ys, cx, cy, ref.heading + jnp.pi / 2, max_s, hint,
+            iters=config.newton_iters)
         px = splines.evaluate(xs, proj_s)
         py = splines.evaluate(ys, proj_s)
         # Clearance at the projected point, with the *state* heading (:206).

@@ -72,6 +72,12 @@ class PlannerConfig:
     # --- Output / discretization (planning_flags.cpp:106-114) ---
     output_spacing: float = 0.3
     epsilon: float = 1e-6
+    # Newton projection iteration cap. The reference hardcodes 20
+    # (tools.cpp:107); Newton is quadratically convergent on these cubics and
+    # reaches f32 fixed point in <8 iterations, so the extra passes are pure
+    # latency — 12 keeps a 4-iteration safety margin while matching the
+    # reference's answers to f32 precision.
+    newton_iters: int = 12
     enable_dynamic_segmentation: bool = False  # batched path uses fixed spacing;
                                                # the reference's variable-knot
                                                # "dynamic segmentation" (§2.6)

@@ -29,9 +29,16 @@ _INF_PX = 1.0e4  # larger than any realistic map dimension in pixels
 @flax.struct.dataclass
 class GridMap:
     """Occupancy + ESDF container. ``esdf`` is in meters; (i, j) indexes
-    (row, col) of the source image with the grid_map convention above."""
+    (row, col) of the source image with the grid_map convention above.
+
+    ``quad`` packs the four bilinear-stencil neighbors of every cell into one
+    row ([v(i,j), v(i,j+1), v(i+1,j), v(i+1,j+1)], flattened over (R-1, C-1)),
+    so a bilinear lookup costs ONE row-gather instead of four element gathers —
+    gathers are the dominant cost of the bound-extraction and corridor stages
+    on TPU (~2x end-to-end on those stages). Built by :func:`pack_quad`."""
 
     esdf: jax.Array                     # (R, C) float, meters to nearest obstacle
+    quad: jax.Array                     # ((R-1)*(C-1), 4) packed stencil rows
     resolution: float = flax.struct.field(pytree_node=False, default=0.2)
 
     @property
@@ -95,12 +102,25 @@ def euclidean_distance_transform(obstacle_mask, chunk: int = 64):
     return jnp.sqrt(d2sq)
 
 
+def pack_quad(esdf):
+    """Pack the 4 bilinear neighbors of each (R-1, C-1) cell into one row."""
+    e = esdf
+    return jnp.stack([e[:-1, :-1], e[:-1, 1:], e[1:, :-1], e[1:, 1:]],
+                     axis=-1).reshape(-1, 4)
+
+
+def from_esdf(esdf, resolution: float = 0.2) -> GridMap:
+    """Wrap a precomputed ESDF (meters) into a GridMap."""
+    esdf = jnp.asarray(esdf, jnp.float32)
+    return GridMap(esdf=esdf, quad=pack_quad(esdf), resolution=resolution)
+
+
 def build_map(obstacle_mask, resolution: float = 0.2, chunk: int = 64) -> GridMap:
     """Build a GridMap (ESDF in meters) from a boolean obstacle mask
     (True = occupied). Mirrors demo.cpp:109-113 where the pixel distance is
     scaled by the map resolution."""
     esdf = euclidean_distance_transform(obstacle_mask, chunk=chunk) * resolution
-    return GridMap(esdf=esdf.astype(jnp.float32), resolution=resolution)
+    return from_esdf(esdf, resolution=resolution)
 
 
 def grid_map_from_image(img, resolution: float = 0.2, occupied_below: int = 128) -> GridMap:
@@ -126,17 +146,18 @@ def is_inside(gm: GridMap, x, y):
 
 def obstacle_distance(gm: GridMap, x, y):
     """Bilinear lookup of the ESDF at world position(s); 0.0 outside the map
-    (reference: Map.cpp:16-22). Fully vectorized over any leading shape."""
+    (reference: Map.cpp:16-22). Fully vectorized over any leading shape.
+
+    Uses the packed stencil table (one row-gather per query) — see GridMap.quad.
+    """
     fi, fj = position_to_index(gm, x, y)
     r, c = gm.shape
     i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, r - 2)
     j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, c - 2)
-    ti = jnp.clip(fi - i0, 0.0, 1.0)
-    tj = jnp.clip(fj - j0, 0.0, 1.0)
-    v00 = gm.esdf[i0, j0]
-    v01 = gm.esdf[i0, j0 + 1]
-    v10 = gm.esdf[i0 + 1, j0]
-    v11 = gm.esdf[i0 + 1, j0 + 1]
-    interp = (v00 * (1 - ti) * (1 - tj) + v01 * (1 - ti) * tj
-              + v10 * ti * (1 - tj) + v11 * ti * tj)
+    ti = jnp.clip(fi - i0, 0.0, 1.0)[..., None]
+    tj = jnp.clip(fj - j0, 0.0, 1.0)[..., None]
+    v = jnp.take(gm.quad, i0 * (c - 1) + j0, axis=0)       # (..., 4)
+    w = jnp.concatenate([(1 - ti) * (1 - tj), (1 - ti) * tj,
+                         ti * (1 - tj), ti * tj], axis=-1)
+    interp = jnp.sum(v * w, axis=-1)
     return jnp.where(is_inside(gm, x, y), interp, 0.0)

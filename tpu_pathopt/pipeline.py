@@ -7,13 +7,18 @@ src/path_optimizer.cpp:34-71) — the full query pipeline:
     -> DP corridor search -> post-smoothing QP -> 0.3 m resampling
     -> ESDF collision bounds -> two-pass lateral path QP -> SlState path
 
-One jittable pure function over fixed shapes; ``jax.vmap`` adds the scenario
-batch axis, ``shard_map`` (see ``tpu_pathopt.dist``) shards the batch across a
-TPU mesh. Stage failures (too few points, >75 deg initial heading error,
-vehicle too far from the reference, short DP corridor, non-converged QPs)
-follow the reference's abort semantics (path_optimizer.cpp:50-66) but are
-reported as flags on the result instead of C++ early returns — the batch
-keeps flowing, masked.
+The batch (scenario) axis is first-class: per-scenario geometry stages are
+``vmap``-ed, while the three QP stages run through *natively batched* ADMM
+solvers (``qp.admm.solve_qp_batched`` / ``solver.solve_path_qp_batched``)
+whose factorization control flow is shared across the batch — the difference
+between ~100 and ~1000+ solves/s/chip. ``shard_map`` (see ``tpu_pathopt.dist``)
+shards the batch across a TPU mesh.
+
+Stage failures (too few points, >75 deg initial heading error, vehicle too far
+from the reference, short DP corridor, non-converged QPs) follow the
+reference's abort semantics (path_optimizer.cpp:50-66) but are reported as
+flags on the result instead of C++ early returns — the batch keeps flowing,
+masked.
 """
 
 from __future__ import annotations
@@ -27,10 +32,12 @@ from tpu_pathopt import bspline, corridor, maps, refpath, splines
 from tpu_pathopt.config import PlannerConfig
 from tpu_pathopt.geometry import constrain_angle, global_to_local, normal_offset
 from tpu_pathopt.qp.admm import QPSettings
-from tpu_pathopt.smoothing import post_smooth, segment_raw_reference
-from tpu_pathopt.smoothing.tension import tension_smooth
-from tpu_pathopt.smoothing.tension2 import tension2_smooth
-from tpu_pathopt.solver import assemble_path_qp, solve_path_qp
+from tpu_pathopt.smoothing import segment_raw_reference
+from tpu_pathopt.smoothing.post_smooth import post_smooth_batched
+from tpu_pathopt.smoothing.tension import tension_smooth_batched
+from tpu_pathopt.smoothing.tension2 import tension2_smooth_batched
+from tpu_pathopt.solver import assemble_path_qp
+from tpu_pathopt.solver.path_solver import solve_path_qp_batched
 
 
 @flax.struct.dataclass
@@ -78,7 +85,9 @@ class PathResult:
 
     @property
     def mask(self):
-        return jnp.arange(self.x.shape[0]) < self.n_valid
+        n = self.x.shape[-1]
+        return jnp.arange(n) < self.n_valid[..., None] \
+            if self.n_valid.ndim else jnp.arange(n) < self.n_valid
 
 
 def _refit_splines(x, y, n_valid, step=1.0):
@@ -95,122 +104,153 @@ def _refit_splines(x, y, n_valid, step=1.0):
     return xs, ys, s_max
 
 
-def solve(gm: maps.GridMap, sc: Scenario, config: PlannerConfig,
-          settings: QPSettings = QPSettings()) -> PathResult:
+def solve_batch(gm: maps.GridMap, scenarios: Scenario, config: PlannerConfig,
+                settings: QPSettings = QPSettings()) -> PathResult:
+    """Solve a batch of scenarios sharing one grid map (the
+    scenario-data-parallel axis; SURVEY.md §2.8). Every Scenario leaf has a
+    leading batch dimension."""
     # TPU matmuls default to bf16 operands; the ADMM iterations need full f32
     # products or the 2e-3 termination tolerance is unreachable.
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(gm, sc, config, settings)
+        return _solve_batch_impl(gm, scenarios, config, settings)
 
 
-def _solve_impl(gm: maps.GridMap, sc: Scenario, config: PlannerConfig,
-                settings: QPSettings) -> PathResult:
+def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
+                      settings: QPSettings) -> PathResult:
     cfg = config
     N = cfg.n_knots
 
-    # --- 1. B-spline fit of the raw points (reference_path_smoother.cpp:490-524)
-    ok_input = sc.n_raw >= 4
+    # --- 1+2. B-spline fit (reference_path_smoother.cpp:490-524) and 1 m
+    # segmentation (:47-85), per scenario ---
+    def prep(sc):
+        ok_input = sc.n_raw >= 4
+        xb, yb, sb, nb = bspline.fit_and_sample(sc.raw_x, sc.raw_y, sc.n_raw,
+                                                cfg.bspline_samples)
+        return (ok_input,) + segment_raw_reference(xb, yb, sb, nb,
+                                                   cfg.n_segment_points)
+
+    ok_input, xg, yg, sg, ang, kg, n_seg = jax.vmap(prep)(scs)
     ok = ok_input
-    xb, yb, sb, nb = bspline.fit_and_sample(sc.raw_x, sc.raw_y, sc.n_raw,
-                                            cfg.bspline_samples)
 
-    # --- 2. 1 m segmentation (:47-85)
-    xg, yg, sg, ang, kg, n_seg = segment_raw_reference(
-        xb, yb, sb, nb, cfg.n_segment_points)
-
-    # --- 3. Smoothing QP (TENSION2 default; tension_smoother_2.cpp:20-72)
+    # --- 3. Smoothing QP, batched (TENSION2 default;
+    # tension_smoother_2.cpp:20-72) ---
     if cfg.smoothing_method == "TENSION2":
-        x2, y2, s2, n2, conv_smooth = tension2_smooth(
+        x2, y2, s2, n2, ok_smooth = tension2_smooth_batched(
             xg, yg, ang, kg, sg, n_seg, cfg, settings)
     else:
-        x2, y2, s2, n2, conv_smooth = tension_smooth(
+        x2, y2, s2, n2, ok_smooth = tension_smooth_batched(
             gm, xg, yg, ang, n_seg, cfg, settings)
-    ok_smooth = conv_smooth
     ok = ok & ok_smooth
-    xs2, ys2, s2_max = _refit_splines(x2, y2, n2)
-    # Reference extends the smoothed spline 3 m past the fit
-    # (tension_smoother.cpp:40-41).
-    length2 = s2_max + 3.0
 
-    # --- 4. DP corridor search (graphSearchDp, :142-295)
-    cor = corridor.search_corridor(
-        gm, xs2, ys2, length2, sc.start_x, sc.start_y, sc.start_heading, cfg)
+    # --- 4. Smoothed-spline refit + DP corridor search (graphSearchDp,
+    # :142-295), per scenario. The reference extends the smoothed spline 3 m
+    # past the fit (tension_smoother.cpp:40-41). ---
+    def mid(sc, x2_i, y2_i, n2_i):
+        xs2, ys2, s2_max = _refit_splines(x2_i, y2_i, n2_i)
+        cor = corridor.search_corridor(
+            gm, xs2, ys2, s2_max + 3.0, sc.start_x, sc.start_y,
+            sc.start_heading, cfg)
+        return xs2, ys2, cor
+
+    xs2, ys2, cor = jax.vmap(mid)(scs, x2, y2, n2)
     ok_corridor = cor.ok
     ok = ok & ok_corridor
 
-    # --- 5. Post-smoothing QP (postSmooth, :526-580)
-    l_post, post_ok, conv_post = post_smooth(
+    # --- 5. Post-smoothing QP, batched (postSmooth, :526-580) ---
+    l_post, post_ok, conv_post = post_smooth_batched(
         cor.layers_s, cor.lower, cor.upper, cor.vehicle_l, cor.n_layers,
         cfg, settings)
     ok_post = post_ok & conv_post
     ok = ok & ok_post
-    ref_dir = splines.heading(xs2, ys2, cor.layers_s)
-    x3, y3 = normal_offset(splines.evaluate(xs2, cor.layers_s),
-                           splines.evaluate(ys2, cor.layers_s),
-                           ref_dir, l_post)
-    xs3, ys3, s3_max = _refit_splines(x3, y3, cor.n_layers)
-    length3 = s3_max
 
-    # --- 6. Init state (processInitState, path_optimizer.cpp:73-85)
-    ix = splines.evaluate(xs3, 0.0)
-    iy = splines.evaluate(ys3, 0.0)
-    ih = splines.heading(xs3, ys3, 0.0)
-    _, local_y, _ = global_to_local(sc.start_x, sc.start_y, sc.start_heading,
-                                    ix, iy)
-    min_dist = jnp.hypot(ix - sc.start_x, iy - sc.start_y)
-    init_offset = jnp.where(local_y < 0.0, min_dist, -min_dist)
-    init_heading_error = constrain_angle(sc.start_heading - ih)
-    ok_init = jnp.abs(init_heading_error) <= 75.0 * jnp.pi / 180.0
+    # --- 6-9. Re-projection, init state, trim, resample, collision bounds,
+    # per scenario ---
+    def late(sc, xs2_i, ys2_i, cor_i, l_post_i):
+        ref_dir = splines.heading(xs2_i, ys2_i, cor_i.layers_s)
+        x3, y3 = normal_offset(splines.evaluate(xs2_i, cor_i.layers_s),
+                               splines.evaluate(ys2_i, cor_i.layers_s),
+                               ref_dir, l_post_i)
+        xs3, ys3, s3_max = _refit_splines(x3, y3, cor_i.n_layers)
+        length3 = s3_max
+
+        # Init state (processInitState, path_optimizer.cpp:73-85).
+        ix = splines.evaluate(xs3, 0.0)
+        iy = splines.evaluate(ys3, 0.0)
+        ih = splines.heading(xs3, ys3, 0.0)
+        _, local_y, _ = global_to_local(sc.start_x, sc.start_y,
+                                        sc.start_heading, ix, iy)
+        min_dist = jnp.hypot(ix - sc.start_x, iy - sc.start_y)
+        init_offset = jnp.where(local_y < 0.0, min_dist, -min_dist)
+        init_heading_error = constrain_angle(sc.start_heading - ih)
+        ok_init = jnp.abs(init_heading_error) <= 75.0 * jnp.pi / 180.0
+
+        # Trim to the target projection (setReferencePathLength, :87-103).
+        ex = splines.evaluate(xs3, length3)
+        ey = splines.evaluate(ys3, length3)
+        eh = splines.heading(xs3, ys3, length3)
+        local_tx, _, _ = global_to_local(ex, ey, eh, sc.target_x, sc.target_y)
+        proj_s = splines.project(xs3, ys3, sc.target_x, sc.target_y, length3)
+        length3 = jnp.where(local_tx > 0.0, length3, proj_s)
+
+        # Resample at output spacing (buildReferenceFromSpline).
+        ref = refpath.build_reference_from_spline(xs3, ys3, length3, N, cfg)
+
+        # Collision bounds + blocked truncation (updateBoundsImproved).
+        cb = bounds_mod.update_bounds(gm, xs3, ys3, ref, cfg)
+        n_valid = jnp.minimum(ref.n_valid, cb.n_valid)
+        ref = ref.replace(n_valid=n_valid)
+        return ref, cb, init_offset, init_heading_error, ok_init, n_valid
+
+    ref, cb, init_offset, init_heading_error, ok_init, n_valid = jax.vmap(
+        late)(scs, xs2, ys2, cor, l_post)
     ok = ok & ok_init
 
-    # --- 7. Trim to the target projection (setReferencePathLength, :87-103)
-    ex = splines.evaluate(xs3, length3)
-    ey = splines.evaluate(ys3, length3)
-    eh = splines.heading(xs3, ys3, length3)
-    local_tx, _, _ = global_to_local(ex, ey, eh, sc.target_x, sc.target_y)
-    proj_s = splines.project(xs3, ys3, sc.target_x, sc.target_y, length3)
-    length3 = jnp.where(local_tx > 0.0, length3, proj_s)
+    # --- 10. Two-pass SQP path QP, batched (optimizePath,
+    # path_optimizer.cpp:124-161) ---
+    ref_heading_last = jnp.take_along_axis(
+        ref.heading, (n_valid - 1)[:, None], axis=-1)[:, 0]
 
-    # --- 8. Resample at output spacing (buildReferenceFromSpline)
-    ref = refpath.build_reference_from_spline(xs3, ys3, length3, N, cfg)
-
-    # --- 9. Collision bounds + blocked truncation (updateBoundsImproved)
-    cb = bounds_mod.update_bounds(gm, xs3, ys3, ref, cfg)
-    n_valid = jnp.minimum(ref.n_valid, cb.n_valid)
-    ref = ref.replace(n_valid=n_valid)
-
-    # --- 10. Two-pass SQP path QP (optimizePath, path_optimizer.cpp:124-161)
-    ref_heading_last = jnp.take(ref.heading, n_valid - 1)
-
-    def make_qp(in_l, in_e, in_k):
+    def make_qp(sc, ref_i, cb_i, hl, io, ie, nv, in_l, in_e, in_k):
         return assemble_path_qp(
-            ref_s=ref.s, ref_k=ref.k, ref_heading_last=ref_heading_last,
+            ref_s=ref_i.s, ref_k=ref_i.k, ref_heading_last=hl,
             input_l=in_l, input_e=in_e, input_k=in_k,
-            front_lb=cb.front_lb, front_ub=cb.front_ub,
-            rear_lb=cb.rear_lb, rear_ub=cb.rear_ub,
-            init_offset=init_offset, init_heading_error=init_heading_error,
+            front_lb=cb_i.front_lb, front_ub=cb_i.front_ub,
+            rear_lb=cb_i.rear_lb, rear_ub=cb_i.rear_ub,
+            init_offset=io, init_heading_error=ie,
             start_k=sc.start_k,
-            target_heading=sc.target_heading, blocked=cb.blocked,
-            n_valid=n_valid, config=cfg)
+            target_heading=sc.target_heading, blocked=cb_i.blocked,
+            n_valid=nv, config=cfg)
 
-    qp1 = make_qp(jnp.zeros((N,)), jnp.zeros((N,)), ref.k)
-    sol1 = solve_path_qp(qp1, settings=settings)
-    qp2 = make_qp(sol1.v[:, 0], sol1.v[:, 1], sol1.v[:, 2])
-    sol2 = solve_path_qp(qp2, v0=sol1.v, y0_knot=sol1.y_knot,
-                         y0_end=sol1.y_end, settings=settings)
+    B = n_valid.shape[0]
+    zeros = jnp.zeros((B, N))
+    qp1 = jax.vmap(make_qp)(scs, ref, cb, ref_heading_last, init_offset,
+                            init_heading_error, n_valid,
+                            zeros, zeros, ref.k)
+    sol1 = solve_path_qp_batched(qp1, settings=settings)
+    qp2 = jax.vmap(make_qp)(scs, ref, cb, ref_heading_last, init_offset,
+                            init_heading_error, n_valid,
+                            sol1.v[:, :, 0], sol1.v[:, :, 1], sol1.v[:, :, 2])
+    sol2 = solve_path_qp_batched(qp2, v0=sol1.v, y0_knot=sol1.y_knot,
+                                 y0_end=sol1.y_end, settings=settings)
     ok_qp = sol1.converged & sol2.converged
     ok = ok & ok_qp
 
-    # --- 11. Output path (getOptimizedPath, base_solver.cpp:263-288)
-    l = sol2.v[:, 0]
-    e = sol2.v[:, 1]
-    k = sol2.v[:, 2]
-    dk = sol2.v[:, 3]
-    x_out, y_out = normal_offset(ref.x, ref.y, ref.heading, l)
-    heading_out = constrain_angle(ref.heading + e)
-    seg = jnp.hypot(jnp.diff(x_out), jnp.diff(y_out))
-    seg = jnp.where(jnp.arange(N - 1) <= n_valid - 2, seg, 0.0)
-    s_out = jnp.concatenate([jnp.zeros((1,), x_out.dtype), jnp.cumsum(seg)])
+    # --- 11. Output path (getOptimizedPath, base_solver.cpp:263-288) ---
+    def finalize(ref_i, v, nv):
+        l = v[:, 0]
+        e = v[:, 1]
+        k = v[:, 2]
+        dk = v[:, 3]
+        x_out, y_out = normal_offset(ref_i.x, ref_i.y, ref_i.heading, l)
+        heading_out = constrain_angle(ref_i.heading + e)
+        seg = jnp.hypot(jnp.diff(x_out), jnp.diff(y_out))
+        seg = jnp.where(jnp.arange(N - 1) <= nv - 2, seg, 0.0)
+        s_out = jnp.concatenate([jnp.zeros((1,), x_out.dtype),
+                                 jnp.cumsum(seg)])
+        return x_out, y_out, heading_out, l, e, k, dk, s_out
+
+    x_out, y_out, heading_out, l, e, k, dk, s_out = jax.vmap(finalize)(
+        ref, sol2.v, n_valid)
 
     return PathResult(
         x=x_out, y=y_out, heading=heading_out, l=l, d_heading=e, k=k, d_k=dk,
@@ -220,11 +260,13 @@ def _solve_impl(gm: maps.GridMap, sc: Scenario, config: PlannerConfig,
         ok_post=ok_post, ok_init=ok_init, ok_qp=ok_qp)
 
 
-def solve_batch(gm: maps.GridMap, scenarios: Scenario, config: PlannerConfig,
-                settings: QPSettings = QPSettings()) -> PathResult:
-    """vmap the pipeline over a batch of scenarios sharing one grid map
-    (the scenario-data-parallel axis; SURVEY.md §2.8)."""
-    return jax.vmap(lambda sc: solve(gm, sc, config, settings))(scenarios)
+def solve(gm: maps.GridMap, sc: Scenario, config: PlannerConfig,
+          settings: QPSettings = QPSettings()) -> PathResult:
+    """Single-scenario solve — a batch of one through the batched pipeline
+    (one code path; the reference's per-query PathOptimizer::solve)."""
+    scs = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], sc)
+    res = solve_batch(gm, scs, config, settings)
+    return jax.tree_util.tree_map(lambda a: a[0], res)
 
 
 # Jitted entry points (config/settings are static: hashable frozen

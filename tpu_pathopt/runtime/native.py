@@ -63,6 +63,5 @@ def build_map_native(obstacle_mask: np.ndarray, resolution: float = 0.2):
     from tpu_pathopt import maps
     if available():
         esdf = esdf_pixels(np.asarray(obstacle_mask)) * resolution
-        return maps.GridMap(esdf=jnp.asarray(esdf, jnp.float32),
-                            resolution=resolution)
+        return maps.from_esdf(esdf, resolution=resolution)
     return maps.build_map(jnp.asarray(obstacle_mask), resolution=resolution)

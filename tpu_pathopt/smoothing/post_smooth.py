@@ -14,6 +14,7 @@ The reference requires >= 4 layers and otherwise skips post-smoothing
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpu_pathopt.config import PlannerConfig
@@ -87,3 +88,17 @@ def post_smooth(layers_s, lower, upper, vehicle_l, n_layers,
     L = layers_s.shape[0]
     ok = n_layers >= 4
     return sol.x[:L], ok, sol.converged
+
+
+def post_smooth_batched(layers_s, lower, upper, vehicle_l, n_layers,
+                        config: PlannerConfig,
+                        settings: admm.QPSettings = admm.QPSettings()):
+    """Batched variant (leading B axis): vmapped assembly + natively batched
+    ADMM solve."""
+    P, q, A, lb, ub = jax.vmap(
+        lambda a, b, c, d, e: build_post_qp(a, b, c, d, e, config)
+    )(layers_s, lower, upper, vehicle_l, n_layers)
+    sol = admm.solve_qp_batched(P, q, A, lb, ub, settings=settings)
+    L = layers_s.shape[1]
+    ok = n_layers >= 4
+    return sol.x[:, :L], ok, sol.converged

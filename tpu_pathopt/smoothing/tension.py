@@ -11,6 +11,7 @@ d_{M-1} in [-0.5, 0.5] (:159-162).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpu_pathopt import maps
@@ -97,4 +98,23 @@ def tension_smooth(gm: maps.GridMap, x_in, y_in, angle_in, n_valid,
     seg = jnp.hypot(jnp.diff(x), jnp.diff(y))
     seg = jnp.where(jnp.arange(M - 1) <= n_valid - 2, seg, 0.0)
     s = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(seg)])
+    return x, y, s, n_valid, sol.converged
+
+
+def tension_smooth_batched(gm: maps.GridMap, x_in, y_in, angle_in, n_valid,
+                           config: PlannerConfig,
+                           settings: admm.QPSettings = admm.QPSettings()):
+    """Batched variant (leading B axis; one shared grid map): vmapped assembly
+    + natively batched ADMM solve."""
+    M = x_in.shape[1]
+    P, q, A, l, u = jax.vmap(
+        lambda a, b, c, d: build_tension_qp(gm, a, b, c, d, config)
+    )(x_in, y_in, angle_in, n_valid)
+    sol = admm.solve_qp_batched(P, q, A, l, u, settings=settings)
+    x = sol.x[:, :M]
+    y = sol.x[:, M:2 * M]
+    seg = jnp.hypot(jnp.diff(x, axis=-1), jnp.diff(y, axis=-1))
+    seg = jnp.where(jnp.arange(M - 1)[None] <= n_valid[:, None] - 2, seg, 0.0)
+    s = jnp.concatenate(
+        [jnp.zeros((x.shape[0], 1), x.dtype), jnp.cumsum(seg, axis=-1)], -1)
     return x, y, s, n_valid, sol.converged

@@ -19,6 +19,7 @@ problem equals the unpadded one on valid points.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from tpu_pathopt.config import PlannerConfig
@@ -116,4 +117,24 @@ def tension2_smooth(x_in, y_in, angle_in, k_in, s_in, n_valid,
     seg = jnp.hypot(jnp.diff(x), jnp.diff(y))
     seg = jnp.where(jnp.arange(M - 1) <= n_valid - 2, seg, 0.0)
     s = jnp.concatenate([jnp.zeros((1,), x.dtype), jnp.cumsum(seg)])
+    return x, y, s, n_valid, sol.converged
+
+
+def tension2_smooth_batched(x_in, y_in, angle_in, k_in, s_in, n_valid,
+                            config: PlannerConfig,
+                            settings: admm.QPSettings = admm.QPSettings()):
+    """Batched variant (leading B axis on every input): assembly is vmapped,
+    the solve goes through the natively batched ADMM (shared factorization
+    control flow — much faster than vmapping :func:`tension2_smooth`)."""
+    M = x_in.shape[1]
+    P, q, A, l, u = jax.vmap(
+        lambda a, b, c, d, e, f: build_tension2_qp(a, b, c, d, e, f, config)
+    )(x_in, y_in, angle_in, k_in, s_in, n_valid)
+    sol = admm.solve_qp_batched(P, q, A, l, u, settings=settings)
+    x = sol.x[:, :M]
+    y = sol.x[:, M:2 * M]
+    seg = jnp.hypot(jnp.diff(x, axis=-1), jnp.diff(y, axis=-1))
+    seg = jnp.where(jnp.arange(M - 1)[None] <= n_valid[:, None] - 2, seg, 0.0)
+    s = jnp.concatenate(
+        [jnp.zeros((x.shape[0], 1), x.dtype), jnp.cumsum(seg, axis=-1)], -1)
     return x, y, s, n_valid, sol.converged

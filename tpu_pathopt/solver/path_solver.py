@@ -144,3 +144,134 @@ def _solve_impl(qp: PathQP, v0, y0_knot, y0_end,
     it, conv, pri, dua = out[10], out[11], out[12], out[13]
     return PathQPSolution(v=v, y_knot=yk, y_end=ye, iters=it, converged=conv,
                           pri_res=pri, dua_res=dua)
+
+
+@functools.partial(jax.jit, static_argnames=("settings",))
+def solve_path_qp_batched(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
+                          settings: QPSettings = QPSettings()
+                          ) -> PathQPSolution:
+    """Batched structured solver: every ``qp`` field has a leading batch axis.
+
+    Differences from ``vmap(solve_path_qp)`` that matter on TPU:
+
+    - the block-Cholesky factors are explicitly inverted once per rho update
+      (``btridiag.inv_factors``), so the per-iteration solve scans are
+      matvec-only einsums with the whole batch riding the vector lanes;
+    - rho refactorization runs under a batch-global ``lax.cond`` instead of
+      being recomputed every round for every element;
+    - termination is batch-global (all elements converged), with per-element
+      freezing so early finishers don't drift (OSQP warm-start semantics
+      preserved across the two SQP passes, base_solver.cpp:97-117).
+    """
+    with jax.default_matmul_precision("highest"):
+        return _solve_batched_impl(qp, v0, y0_knot, y0_end, settings)
+
+
+def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
+                        settings: QPSettings) -> PathQPSolution:
+    st = settings
+    B, N = qp.p_diag.shape[0], qp.p_diag.shape[1]
+    dt = qp.p_diag.dtype
+
+    lb_knot, ub_knot, lb_end, ub_end = jax.vmap(assembly.bounds)(qp)
+    cls_knot, cls_end = jax.vmap(assembly.rho_classes)(qp)
+
+    a_mul = jax.vmap(assembly.a_mul)
+    at_mul = jax.vmap(assembly.at_mul)
+
+    def factor(rho_bar):
+        rk = rho_bar[:, None, None] * cls_knot
+        re = rho_bar[:, None] * cls_end
+        diag, off = jax.vmap(assembly.normal_blocks, in_axes=(0, 0, 0, None))(
+            qp, rk, re, st.sigma)
+        C, W = jax.vmap(btridiag.factor)(diag, off)
+        Cinv, W = btridiag.inv_factors(C, W)
+        return rk, re, Cinv, W
+
+    rho_bar0 = jnp.full((B,), st.rho_bar, dt)
+    rk0, re0, Ci0, W0 = factor(rho_bar0)
+
+    v = jnp.zeros((B, N, assembly.NB), dt) if v0 is None else v0
+    yk = jnp.zeros((B, N, 6), dt) if y0_knot is None else y0_knot
+    ye = jnp.zeros((B, 2), dt) if y0_end is None else y0_end
+    zk, ze = a_mul(qp, v)
+
+    amax = lambda a: jnp.max(jnp.abs(a.reshape(a.shape[0], -1)), axis=-1)
+    inf2 = lambda a, b: jnp.maximum(amax(a), amax(b))
+
+    def admm_round(carry):
+        (v, zk, ze, yk, ye, rk, re, Ci, W, rho_bar, it, conv, pri, dua) = carry
+
+        solve_fn = (btridiag.solve_batched_pscan if st.pscan
+                    else btridiag.solve_batched)
+
+        def step(_, state):
+            v, zk, ze, yk, ye = state
+            rhs = st.sigma * v + at_mul(qp, rk * zk - yk, re * ze - ye)
+            vt = solve_fn(Ci, W, rhs)
+            ztk, zte = a_mul(qp, vt)
+            v_new = st.alpha * vt + (1 - st.alpha) * v
+            ztmp_k = st.alpha * ztk + (1 - st.alpha) * zk + yk / rk
+            ztmp_e = st.alpha * zte + (1 - st.alpha) * ze + ye / re
+            zk_new = jnp.clip(ztmp_k, lb_knot, ub_knot)
+            ze_new = jnp.clip(ztmp_e, lb_end, ub_end)
+            yk_new = rk * (ztmp_k - zk_new)
+            ye_new = re * (ztmp_e - ze_new)
+            return v_new, zk_new, ze_new, yk_new, ye_new
+
+        v_n, zk_n, ze_n, yk_n, ye_n = jax.lax.fori_loop(
+            0, st.check_every, step, (v, zk, ze, yk, ye))
+        c3 = conv[:, None, None]
+        v = jnp.where(c3, v, v_n)
+        zk = jnp.where(c3, zk, zk_n)
+        ze = jnp.where(conv[:, None], ze, ze_n)
+        yk = jnp.where(c3, yk, yk_n)
+        ye = jnp.where(conv[:, None], ye, ye_n)
+        it = jnp.where(conv, it, it + st.check_every)
+
+        Avk, Ave = a_mul(qp, v)
+        pv = qp.p_diag * v
+        Aty = at_mul(qp, yk, ye)
+        pri_res = inf2(Avk - zk, Ave - ze)
+        dua_res = amax(pv + Aty)
+        eps_pri = st.eps_abs + st.eps_rel * jnp.maximum(
+            inf2(Avk, Ave), inf2(zk, ze))
+        eps_dua = st.eps_abs + st.eps_rel * jnp.maximum(amax(pv), amax(Aty))
+        conv_new = conv | ((pri_res <= eps_pri) & (dua_res <= eps_dua))
+
+        if st.adaptive_rho:
+            num = pri_res / jnp.maximum(
+                jnp.maximum(inf2(Avk, Ave), inf2(zk, ze)), 1e-12)
+            den = dua_res / jnp.maximum(
+                jnp.maximum(amax(pv), amax(Aty)), 1e-12)
+            ratio = jnp.sqrt(num / jnp.maximum(den, 1e-12))
+            need = (~conv_new) & ((ratio > 5.0) | (ratio < 0.2))
+            rho_bar_new = jnp.where(
+                need, jnp.clip(rho_bar * ratio, 1e-6, 1e6), rho_bar)
+
+            def refactor():
+                rk_n, re_n, Ci_n, W_n = factor(rho_bar_new)
+                sel = need[:, None, None]
+                return (jnp.where(sel, rk_n, rk), jnp.where(need[:, None], re_n, re),
+                        jnp.where(need[:, None, None, None], Ci_n, Ci),
+                        jnp.where(need[:, None, None, None], W_n, W))
+
+            rk, re, Ci, W = jax.lax.cond(
+                jnp.any(need), refactor, lambda: (rk, re, Ci, W))
+            rho_bar = rho_bar_new
+
+        return (v, zk, ze, yk, ye, rk, re, Ci, W, rho_bar, it, conv_new,
+                jnp.where(conv, pri, pri_res), jnp.where(conv, dua, dua_res))
+
+    def cond(carry):
+        it, conv = carry[10], carry[11]
+        return jnp.any((~conv) & (it < st.max_iter))
+
+    init = (v, zk, ze, yk, ye, rk0, re0, Ci0, W0, rho_bar0,
+            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
+            jnp.full((B,), jnp.inf, dt), jnp.full((B,), jnp.inf, dt))
+    out = jax.lax.while_loop(cond, admm_round, init)
+    v, zk, ze, yk, ye = out[:5]
+    it, conv, pri, dua = out[10], out[11], out[12], out[13]
+    return PathQPSolution(v=v, y_knot=yk, y_end=ye, iters=it, converged=conv,
+                          pri_res=pri, dua_res=dua)

@@ -198,22 +198,83 @@ def pad_polyline(x, y, n_pad: int):
 
 
 # ---------------------------------------------------------------------------
+# Fused paired-curve evaluation. The planar curve (x(s), y(s)) is two splines
+# over the SAME knot vector; Newton projection loops need
+# (x, y, x', y', x'', y'') every iteration. Evaluating the splines separately
+# costs ~6 searchsorted + ~30 coefficient gathers per iteration — on TPU the
+# gathers dominate the whole bound-extraction stage. The fused path packs both
+# splines' segment coefficients into one (N-1, 8) table: per query it is ONE
+# searchsorted + ONE row-gather + polynomial arithmetic.
+# ---------------------------------------------------------------------------
+
+
+def pack_xy(xs: CubicSpline, ys: CubicSpline):
+    """Packed per-segment coefficient table [x0, xa, xb, xc, y0, ya, yb, yc]
+    for :func:`eval_xy_fused`. Requires xs and ys to share the knot vector
+    (true for every curve built by arc-length refitting)."""
+    return jnp.stack([xs.y[:-1], xs.a, xs.b, xs.c,
+                      ys.y[:-1], ys.a, ys.b, ys.c], axis=-1)
+
+
+def eval_xy_fused(xs: CubicSpline, ys: CubicSpline, tbl, q):
+    """(x, y, dx, dy, ddx, ddy) at q — semantics identical to six
+    :func:`evaluate` calls (incl. linear extrapolation), one gather."""
+    q = jnp.asarray(q)
+    i = _segment_index(xs, q)
+    t = q - jnp.take(xs.s, i)
+    row = jnp.take(tbl, i, axis=0)
+    x0, xa, xb, xc = row[..., 0], row[..., 1], row[..., 2], row[..., 3]
+    y0, ya, yb, yc = row[..., 4], row[..., 5], row[..., 6], row[..., 7]
+
+    s_lo = xs.s[0]
+    s_hi = xs.s_max
+    below = q < s_lo
+    above = q > s_hi
+    out_of = below | above
+
+    # End-slope scalars (once per call, not per query).
+    hi_i = xs.n_valid - 2
+    h_end = jnp.take(xs.s, xs.n_valid - 1) - jnp.take(xs.s, hi_i)
+
+    def end_slope(sp):
+        return (jnp.take(sp.c, hi_i) + 2.0 * jnp.take(sp.b, hi_i) * h_end
+                + 3.0 * jnp.take(sp.a, hi_i) * h_end ** 2)
+
+    x_hi_slope = end_slope(xs)
+    y_hi_slope = end_slope(ys)
+    x_hi_val = jnp.take(xs.y, xs.n_valid - 1)
+    y_hi_val = jnp.take(ys.y, ys.n_valid - 1)
+
+    def one(v0, a, b, c, lo_val0, lo_slope, hi_val, hi_slope):
+        val = v0 + t * (c + t * (b + t * a))
+        d1 = c + t * (2.0 * b + 3.0 * a * t)
+        d2 = 2.0 * b + 6.0 * a * t
+        lo_val = lo_val0 + lo_slope * (q - s_lo)
+        hi_v = hi_val + hi_slope * (q - s_hi)
+        val = jnp.where(below, lo_val, jnp.where(above, hi_v, val))
+        d1 = jnp.where(below, lo_slope, jnp.where(above, hi_slope, d1))
+        d2 = jnp.where(out_of, 0.0, d2)
+        return val, d1, d2
+
+    x, dx, ddx = one(x0, xa, xb, xc, xs.y[0], xs.c[0], x_hi_val, x_hi_slope)
+    y, dy, ddy = one(y0, ya, yb, yc, ys.y[0], ys.c[0], y_hi_val, y_hi_slope)
+    return x, y, dx, dy, ddx, ddy
+
+
+# ---------------------------------------------------------------------------
 # Projections (reference: tools.cpp:66-189)
 # ---------------------------------------------------------------------------
 
 def project_newton(xs: CubicSpline, ys: CubicSpline, tx, ty, max_s, hint_s,
                    iters: int = 20):
     """Closest-point projection of (tx, ty) onto the curve by Newton iteration
-    from hint_s (reference: getProjectionByNewton, tools.cpp:98-126). Returns s."""
+    from hint_s (reference: getProjectionByNewton, tools.cpp:98-126). Returns s.
+    Vectorized over any common leading shape."""
+    tbl = pack_xy(xs, ys)
     cur = jnp.minimum(hint_s, max_s)
 
     def body(_, cur):
-        x = evaluate(xs, cur)
-        y = evaluate(ys, cur)
-        dx = evaluate(xs, cur, 1)
-        dy = evaluate(ys, cur, 1)
-        ddx = evaluate(xs, cur, 2)
-        ddy = evaluate(ys, cur, 2)
+        x, y, dx, dy, ddx, ddy = eval_xy_fused(xs, ys, tbl, cur)
         jcb = (x - tx) * dx + (y - ty) * dy
         hes = dx * dx + (x - tx) * ddx + dy * dy + (y - ty) * ddy
         return cur - jcb / jnp.where(jnp.abs(hes) < 1e-12, 1e-12, hes)
@@ -241,18 +302,16 @@ def project_directional_newton(xs: CubicSpline, ys: CubicSpline, tx, ty, angle,
                                max_s, hint_s, iters: int = 20):
     """Projection along the ray through (tx, ty) with direction `angle`:
     minimizes the squared signed distance of the curve point from that ray
-    (reference: getDirectionalProjectionByNewton, tools.cpp:156-189)."""
+    (reference: getDirectionalProjectionByNewton, tools.cpp:156-189).
+    Vectorized over any common leading shape of (tx, ty, angle, max_s, hint_s);
+    fused single-gather evaluation per iteration."""
+    tbl = pack_xy(xs, ys)
     v1 = jnp.sin(angle)
     v2 = -jnp.cos(angle)
     cur = jnp.minimum(hint_s, max_s)
 
     def body(_, cur):
-        x = evaluate(xs, cur)
-        y = evaluate(ys, cur)
-        dx = evaluate(xs, cur, 1)
-        dy = evaluate(ys, cur, 1)
-        ddx = evaluate(xs, cur, 2)
-        ddy = evaluate(ys, cur, 2)
+        x, y, dx, dy, ddx, ddy = eval_xy_fused(xs, ys, tbl, cur)
         p1 = v1 * (x - tx) + v2 * (y - ty)
         p2 = v1 * dx + v2 * dy
         jcb = p1 * p2
