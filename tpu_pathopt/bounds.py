@@ -114,10 +114,16 @@ def clearance_strict(gm: maps.GridMap, x, y, heading, config: PlannerConfig):
 
 def update_bounds(gm: maps.GridMap, xs: splines.CubicSpline,
                   ys: splines.CubicSpline, ref: RefStates,
-                  config: PlannerConfig) -> CorridorBounds:
+                  config: PlannerConfig,
+                  with_center: bool = False) -> CorridorBounds:
     """Per-knot corridor at front/rear axle centers projected onto the spline
     (updateBoundsImproved, reference_path_impl.cpp:177-230) + blocked horizon
-    truncation."""
+    truncation.
+
+    ``with_center`` additionally fills the center-state corridor. The
+    reference computes it too (reference_path_impl.cpp:207) but the path QP
+    only consumes front/rear (base_solver.cpp:193-206), so the pipeline skips
+    it — a third of the clearance ray-marching cost."""
     cfg = config
     eps = cfg.epsilon
 
@@ -142,7 +148,12 @@ def update_bounds(gm: maps.GridMap, xs: splines.CubicSpline,
 
     front_ub, front_lb = axle_bounds(cfg.front_length)
     rear_ub, rear_lb = axle_bounds(cfg.rear_length)
-    center_ub, center_lb = clearance_strict(gm, ref.x, ref.y, ref.heading, cfg)
+    if with_center:
+        center_ub, center_lb = clearance_strict(gm, ref.x, ref.y, ref.heading,
+                                                cfg)
+    else:
+        center_ub = jnp.zeros_like(front_ub)
+        center_lb = jnp.zeros_like(front_lb)
 
     # Blocked detection: zero-width front or rear corridor (:220-229).
     zero_width = (jnp.abs(front_ub - front_lb) < eps) | \

@@ -47,6 +47,11 @@ class QPSettings:
     # order. Off by default: with the (B, m, 6, 6) layout the tiny-matmul
     # einsums underutilize the vector lanes and lose to the sequential sweep.
     pscan: bool = False
+    # Fuse each check_every-iteration ADMM round of the structured path
+    # solver into one Pallas TPU kernel (lane-major batch layout, factors
+    # resident in VMEM, in-kernel knot sweeps). Falls back to the XLA round
+    # on non-TPU backends unless the batch also fits interpret mode.
+    fused_rounds: bool = True
 
 
 @flax.struct.dataclass

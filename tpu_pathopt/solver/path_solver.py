@@ -179,11 +179,37 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
     a_mul = jax.vmap(assembly.a_mul)
     at_mul = jax.vmap(assembly.at_mul)
 
+    # Fused-Pallas rounds: lane-major layout, batch chunked to 128 lanes.
+    # Only on TPU backends — on CPU the kernels would run in interpret mode
+    # (orders of magnitude slower than the XLA rounds); kernel parity on CPU
+    # is covered by dedicated interpret-mode tests.
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    use_fused = st.fused_rounds and on_tpu and (B <= 128 or B % 128 == 0)
+    if use_fused:
+        from tpu_pathopt.solver import fused_rounds
+        interpret = False
+        lane = lambda a: jnp.moveaxis(a, 0, -1)
+        unlane = lambda a: jnp.moveaxis(a, -1, 0)
+        # Static per-solve constants in kernel layout.
+        geom = qp.coll_coef[:1, 0, :, 1]                       # (1, 2) lf, lr
+        es_l = lane((jnp.arange(N)[None, :]
+                     == qp.end_idx[:, None]).astype(dt))[:, None, :]  # (N,1,B)
+        tp_l = lane(qp.t_prev)                                 # (N, 3, 6, B)
+        lbk_l, ubk_l = lane(lb_knot), lane(ub_knot)
+        lbe_l, ube_l = lane(lb_end), lane(ub_end)
+
     def factor(rho_bar):
         rk = rho_bar[:, None, None] * cls_knot
         re = rho_bar[:, None] * cls_end
         diag, off = jax.vmap(assembly.normal_blocks, in_axes=(0, 0, 0, None))(
             qp, rk, re, st.sigma)
+        if use_fused:
+            # Lane-major fused factor kernel; W comes back already padded
+            # ((N, 6, 6, B) with W[0] = 0) in the kernel layout.
+            offp = jnp.concatenate([jnp.zeros((B, 1, 6, 6), dt), off], axis=1)
+            Ci_l, Wp_l = fused_rounds.fused_factor(
+                lane(diag), lane(offp), interpret=interpret)
+            return rk, re, Ci_l, Wp_l
         C, W = jax.vmap(btridiag.factor)(diag, off)
         Cinv, W = btridiag.inv_factors(C, W)
         return rk, re, Cinv, W
@@ -219,8 +245,19 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
             ye_new = re * (ztmp_e - ze_new)
             return v_new, zk_new, ze_new, yk_new, ye_new
 
-        v_n, zk_n, ze_n, yk_n, ye_n = jax.lax.fori_loop(
-            0, st.check_every, step, (v, zk, ze, yk, ye))
+        if use_fused:
+            # Ci/W already live in the kernel's lane-major layout.
+            v_n, zk_n, ze_n, yk_n, ye_n = map(
+                unlane,
+                fused_rounds.fused_admm_round(
+                    geom, Ci, W, tp_l, lbk_l, ubk_l, lbe_l, ube_l,
+                    lane(rk), lane(re), es_l,
+                    lane(v), lane(zk), lane(ze), lane(yk), lane(ye),
+                    iters=st.check_every, alpha=st.alpha, sigma=st.sigma,
+                    interpret=interpret))
+        else:
+            v_n, zk_n, ze_n, yk_n, ye_n = jax.lax.fori_loop(
+                0, st.check_every, step, (v, zk, ze, yk, ye))
         c3 = conv[:, None, None]
         v = jnp.where(c3, v, v_n)
         zk = jnp.where(c3, zk, zk_n)
@@ -251,10 +288,14 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
 
             def refactor():
                 rk_n, re_n, Ci_n, W_n = factor(rho_bar_new)
-                sel = need[:, None, None]
-                return (jnp.where(sel, rk_n, rk), jnp.where(need[:, None], re_n, re),
-                        jnp.where(need[:, None, None, None], Ci_n, Ci),
-                        jnp.where(need[:, None, None, None], W_n, W))
+                # Factors are lane-major (batch last) in the fused path,
+                # batch-leading otherwise.
+                fsel = (need[None, None, None, :] if use_fused
+                        else need[:, None, None, None])
+                return (jnp.where(need[:, None, None], rk_n, rk),
+                        jnp.where(need[:, None], re_n, re),
+                        jnp.where(fsel, Ci_n, Ci),
+                        jnp.where(fsel, W_n, W))
 
             rk, re, Ci, W = jax.lax.cond(
                 jnp.any(need), refactor, lambda: (rk, re, Ci, W))
