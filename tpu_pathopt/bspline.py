@@ -17,44 +17,49 @@ import jax
 import jax.numpy as jnp
 
 
-def _clamped_knots(n_ctrl, degree, n_max_knots):
-    """Clamped uniform knot vector of a B-spline with ``n_ctrl`` (dynamic)
-    control points, padded to ``n_max_knots`` entries (padding = 1.0).
-    knot_i = clip((i - degree) / (n_ctrl - degree), 0, 1)."""
-    i = jnp.arange(n_max_knots, dtype=jnp.float32)
-    denom = jnp.maximum(n_ctrl - degree, 1).astype(jnp.float32)
-    return jnp.clip((i - degree) / denom, 0.0, 1.0)
+def _knot_value(i, degree, denom):
+    """Clamped uniform knot value at (possibly out-of-range) index ``i``:
+    knot_i = clip((i - degree) / (n_ctrl - degree), 0, 1). Computed
+    analytically — the knot vector is never materialized, so the de Boor
+    ladder does arithmetic instead of gathers (gathers dominate on TPU)."""
+    return jnp.clip((i.astype(jnp.float32) - degree) / denom, 0.0, 1.0)
 
 
 def _de_boor(ctrl, n_valid, degree: int, t):
     """Evaluate a clamped uniform B-spline at parameters t ∈ [0, 1].
 
     ctrl: (N, D) padded control points; n_valid: () int32; t: (T,).
-    Returns (T, D). Static-degree de Boor ladder, vectorized over t.
+    Returns (T, D). Static-degree de Boor ladder, vectorized over t; ONE
+    row-gather per query (the (degree+1)-point control window) — knot values
+    are analytic (see :func:`_knot_value`).
     """
-    n_max = ctrl.shape[0]
-    knots = _clamped_knots(n_valid, degree, n_max + degree + 1)
+    n_max, D = ctrl.shape
+    denom = jnp.maximum(n_valid - degree, 1).astype(jnp.float32)
 
-    # Knot span k: knots[k] <= t < knots[k+1], clamped to valid range.
-    k = jnp.searchsorted(knots, t, side="right") - 1
-    k = jnp.clip(k, degree, n_valid - 1)
+    # Knot span: k = degree + floor(t * denom), clamped — equivalent to the
+    # searchsorted over the clamped-uniform knot vector.
+    k = jnp.clip(jnp.floor(t * denom).astype(jnp.int32) + degree,
+                 degree, n_valid - 1)
 
-    def eval_one(tq, kq):
-        # d_j = ctrl[j + kq - degree] for j = 0..degree
-        idx = kq - degree + jnp.arange(degree + 1)
-        d = ctrl[jnp.clip(idx, 0, n_max - 1)]          # (degree+1, D)
-        for r in range(1, degree + 1):
-            new_d = [d[i] for i in range(r)]
-            for j in range(r, degree + 1):
-                lo = knots[jnp.clip(j + kq - degree, 0, knots.shape[0] - 1)]
-                hi = knots[jnp.clip(j + 1 + kq - r, 0, knots.shape[0] - 1)]
-                denom = hi - lo
-                alpha = jnp.where(jnp.abs(denom) < 1e-12, 0.0, (tq - lo) / denom)
-                new_d.append((1.0 - alpha) * d[j - 1] + alpha * d[j])
-            d = jnp.stack(new_d)
-        return d[degree]
+    # Window table win[m, j] = ctrl[m - degree + j] (zero-padded below 0,
+    # clamped indices in the original are never hit for valid spans).
+    pad = jnp.zeros((degree, D), ctrl.dtype)
+    ctrlp = jnp.concatenate([pad, ctrl])
+    win = jnp.stack([ctrlp[j:j + n_max] for j in range(degree + 1)], axis=1)
+    d = jnp.take(win, k, axis=0)                       # (T, degree+1, D)
 
-    return jax.vmap(eval_one)(t, k)
+    kf = k
+    for r in range(1, degree + 1):
+        cols = []
+        for j in range(r, degree + 1):
+            lo = _knot_value(j + kf - degree, degree, denom)
+            hi = _knot_value(j + 1 + kf - r, degree, denom)
+            den = hi - lo
+            alpha = jnp.where(jnp.abs(den) < 1e-12, 0.0, (t - lo) / den)
+            cols.append((1.0 - alpha)[:, None] * d[:, j - 1]
+                        + alpha[:, None] * d[:, j])
+        d = jnp.concatenate([d[:, :r], jnp.stack(cols, axis=1)], axis=1)
+    return d[:, degree]
 
 
 def fit_and_sample(x, y, n_valid, n_samples: int):

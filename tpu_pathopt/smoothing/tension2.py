@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_pathopt.config import PlannerConfig
-from tpu_pathopt.qp import admm
+from tpu_pathopt.qp import admm, structured
 
 
 def build_tension2_qp(x_in, y_in, angle_in, k_in, s_in, n_valid,
@@ -120,19 +120,88 @@ def tension2_smooth(x_in, y_in, angle_in, k_in, s_in, n_valid,
     return x, y, s, n_valid, sol.converged
 
 
+def build_tension2_structured(x_in, y_in, angle_in, k_in, s_in, n_valid,
+                              config: PlannerConfig) -> structured.BlockBandedQP:
+    """Block-banded form of the TENSION2 QP for the structured engine:
+    variables per point [x, y, theta, k] (nb=4), rows per point the three
+    linearized transitions attached to their later endpoint (r=3), with the
+    two start pins folded into group 0 (reference tension_smoother_2.cpp:
+    96-145). Identical problem to :func:`build_tension2_qp` up to a dummy
+    decoupled k_{M-1} variable (regularized to 0)."""
+    M = x_in.shape[0]
+    dt = x_in.dtype
+    idx = jnp.arange(M)
+    w_dev = config.tension_2_deviation_weight
+    w_k = config.tension_2_curvature_weight
+    w_kr = config.tension_2_curvature_rate_weight
+
+    # pair_i (i in [0, M-3]): both k_i and k_{i+1} live on valid points.
+    pair = ((idx <= n_valid - 3) & (idx < M - 2)).astype(dt)      # (M,)
+    pair_im1 = jnp.concatenate([jnp.zeros((1,), dt), pair[:-1]])
+    is_pad = (idx >= n_valid).astype(dt)
+    has_k = (idx < M - 1).astype(dt)
+
+    k_diag = (2.0 * w_k * has_k + 2.0 * w_kr * (pair + pair_im1)
+              + is_pad * has_k + (1.0 - has_k))
+    p_diag = jax.vmap(jnp.diag)(jnp.stack([
+        jnp.full((M,), 2.0 * w_dev, dt),
+        jnp.full((M,), 2.0 * w_dev, dt),
+        is_pad,
+        k_diag,
+    ], axis=-1))
+    p_off = jnp.zeros((M, 4, 4), dt)
+    p_off = p_off.at[:, 3, 3].set(-2.0 * w_kr * pair_im1)
+
+    q = jnp.stack([-2.0 * w_dev * x_in, -2.0 * w_dev * y_in,
+                   jnp.zeros((M,), dt), jnp.zeros((M,), dt)], axis=-1)
+
+    # Transition data for group i (i >= 1) comes from segment i-1.
+    ds = jnp.diff(s_in)
+    ds = jnp.where(ds > 1e-6, ds, 1.0)
+    ds = jnp.concatenate([ds[:1], ds])                 # align to groups
+    th = jnp.concatenate([angle_in[:1], angle_in[:-1]])
+    kb = jnp.concatenate([k_in[:1], k_in[:-1]])
+    sin_a, cos_a = jnp.sin(th), jnp.cos(th)
+    # Group i valid iff segment i-1 is inside the valid range.
+    valid = ((idx >= 1) & (idx <= n_valid - 1)).astype(dt)
+
+    eye3x4 = jnp.concatenate([jnp.eye(3, dtype=dt),
+                              jnp.zeros((3, 1), dt)], axis=1)
+    a_cur = jnp.broadcast_to(eye3x4, (M, 3, 4)).copy()
+    # Group 0: pins x_0, y_0 only.
+    a_cur = a_cur.at[0, 2].set(0.0)
+    ap = jnp.stack([
+        jnp.stack([-jnp.ones((M,), dt), jnp.zeros((M,), dt),
+                   ds * sin_a, jnp.zeros((M,), dt)], -1),
+        jnp.stack([jnp.zeros((M,), dt), -jnp.ones((M,), dt),
+                   -ds * cos_a, jnp.zeros((M,), dt)], -1),
+        jnp.stack([jnp.zeros((M,), dt), jnp.zeros((M,), dt),
+                   -jnp.ones((M,), dt), -ds], -1),
+    ], axis=-2)                                        # (M, 3, 4)
+    a_prev = jnp.where(valid[:, None, None], ap, 0.0)
+
+    b_valid = jnp.stack([ds * cos_a, ds * sin_a, -ds * kb], -1)   # (M, 3)
+    b_pad = jnp.stack([x_in, y_in, jnp.zeros((M,), dt)], -1)
+    b = jnp.where(valid[:, None], b_valid, b_pad)
+    b = b.at[0].set(jnp.stack([x_in[0], y_in[0], jnp.asarray(0.0, dt)]))
+
+    return structured.BlockBandedQP(p_diag=p_diag, p_off=p_off, q=q,
+                                    a_cur=a_cur, a_prev=a_prev, lb=b, ub=b)
+
+
 def tension2_smooth_batched(x_in, y_in, angle_in, k_in, s_in, n_valid,
                             config: PlannerConfig,
                             settings: admm.QPSettings = admm.QPSettings()):
-    """Batched variant (leading B axis on every input): assembly is vmapped,
-    the solve goes through the natively batched ADMM (shared factorization
-    control flow — much faster than vmapping :func:`tension2_smooth`)."""
-    M = x_in.shape[1]
-    P, q, A, l, u = jax.vmap(
-        lambda a, b, c, d, e, f: build_tension2_qp(a, b, c, d, e, f, config)
+    """Batched variant (leading B axis on every input): vmapped block-banded
+    assembly + the structured fused-kernel ADMM engine."""
+    qp = jax.vmap(
+        lambda a, b, c, d, e, f: build_tension2_structured(a, b, c, d, e, f,
+                                                           config)
     )(x_in, y_in, angle_in, k_in, s_in, n_valid)
-    sol = admm.solve_qp_batched(P, q, A, l, u, settings=settings)
-    x = sol.x[:, :M]
-    y = sol.x[:, M:2 * M]
+    sol = structured.solve_structured_batched(qp, settings=settings)
+    x = sol.v[:, :, 0]
+    y = sol.v[:, :, 1]
+    M = x_in.shape[1]
     seg = jnp.hypot(jnp.diff(x, axis=-1), jnp.diff(y, axis=-1))
     seg = jnp.where(jnp.arange(M - 1)[None] <= n_valid[:, None] - 2, seg, 0.0)
     s = jnp.concatenate(

@@ -51,16 +51,18 @@ def _factor_kernel(diag_ref, offp_ref, ci_ref, w_ref, *, n: int):
     Per knot i (sequential, in-kernel):
         W_i    = Off_{i-1} Cinv_{i-1}^T          (zero for i = 0)
         S_i    = Diag_i - W_i W_i^T
-        C_i    = chol(S_i)      (unrolled 6x6 Cholesky-Crout, lanes = batch)
+        C_i    = chol(S_i)      (unrolled nb x nb Cholesky-Crout, lanes = batch)
         Cinv_i = C_i^{-1}       (unrolled forward substitution)
 
-    diag/offp: (N, 6, 6, B) with offp[0] = 0. Outputs ci (Cinv) and w (W),
-    both (N, 6, 6, B). Replaces a 128-step XLA While of batched cholesky +
-    triangular solves — the dominant fixed cost of a solve.
+    diag/offp: (N, nb, nb, B) with offp[0] = 0. Outputs ci (Cinv) and w (W),
+    both (N, nb, nb, B). Replaces an N-step XLA While of batched cholesky +
+    triangular solves — the dominant fixed cost of a solve. Works for any
+    static block size nb (6 for the path QP, 4/3 for the smoothing QPs).
     """
+    NB = diag_ref.shape[1]
 
     def step(i, ci_prev):
-        O = offp_ref[i]                                     # (6, 6, B)
+        O = offp_ref[i]                                     # (nb, nb, B)
         D = diag_ref[i]
         # Everything below is unrolled over the static 6x6 block structure —
         # each entry is a (B,) lanes vector; no cross-dim broadcasts (Mosaic
@@ -239,6 +241,113 @@ def _round_kernel(geom_ref, Ci_ref, Wp_ref, tp_ref, lbk_ref, ubk_ref, lbe_ref,
     zeo_ref[:] = ze
     yko_ref[:] = yk
     yeo_ref[:] = ye
+
+
+def _structured_round_kernel(Ci_ref, Wp_ref, ac_ref, ap_ref, q_ref, lb_ref,
+                             ub_ref, rho_ref, v_ref, z_ref, y_ref,
+                             vo_ref, zo_ref, yo_ref, sweep_ref, rhs_ref,
+                             *, iters: int, alpha: float, sigma: float,
+                             n: int):
+    """Generic block-banded ADMM round (see qp.structured.BlockBandedQP):
+    row group i = a_cur[i] v_i + a_prev[i] v_{i-1}. Same fusion strategy as
+    the specialized path-QP kernel; A blocks are data instead of hardcoded
+    structure, so one kernel serves every nb/r instantiation."""
+    ac = ac_ref[:]          # (N, r, nb, B)
+    ap = ap_ref[:]
+    qv = q_ref[:]           # (N, nb, B)
+    lb = lb_ref[:]          # (N, r, B)
+    ub = ub_ref[:]
+    rho = rho_ref[:]
+
+    def one_iter(_, state):
+        v, z, y = state
+
+        # rhs = sigma v - q + A^T (rho z - y)
+        w = rho * z - y                                     # (N, r, B)
+        atw = jnp.sum(ac * w[:, :, None, :], axis=1)        # (N, nb, B)
+        apw = jnp.sum(ap * w[:, :, None, :], axis=1)
+        atw = atw + jnp.concatenate(
+            [apw[1:], jnp.zeros_like(apw[:1])], axis=0)
+        rhs_ref[:] = sigma * v - qv + atw
+
+        def fwd(i, y_prev):
+            t = rhs_ref[i] - jnp.sum(Wp_ref[i] * y_prev[None], axis=1)
+            yy = jnp.sum(Ci_ref[i] * t[None], axis=1)
+            sweep_ref[i] = yy
+            return yy
+
+        jax.lax.fori_loop(0, n, fwd, jnp.zeros_like(rhs_ref[0]))
+
+        def bwd(j, vt_next):
+            i = n - 1 - j
+            nxt = jnp.minimum(i + 1, n - 1)
+            gate = jnp.where(i < n - 1, 1.0, 0.0)
+            t = sweep_ref[i] - gate * jnp.sum(
+                Wp_ref[nxt] * vt_next[:, None], axis=0)
+            vt = jnp.sum(Ci_ref[i] * t[:, None], axis=0)
+            sweep_ref[i] = vt
+            return vt
+
+        jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(rhs_ref[0]))
+        vt = sweep_ref[:]                                   # (N, nb, B)
+
+        vt_prev = jnp.concatenate([jnp.zeros_like(vt[:1]), vt[:-1]])
+        zt = (jnp.sum(ac * vt[:, None, :, :], axis=2)
+              + jnp.sum(ap * vt_prev[:, None, :, :], axis=2))  # (N, r, B)
+
+        v_new = alpha * vt + (1 - alpha) * v
+        z_tmp = alpha * zt + (1 - alpha) * z + y / rho
+        z_new = jnp.clip(z_tmp, lb, ub)
+        y_new = rho * (z_tmp - z_new)
+        return v_new, z_new, y_new
+
+    v, z, y = jax.lax.fori_loop(
+        0, iters, one_iter, (v_ref[:], z_ref[:], y_ref[:]))
+    vo_ref[:] = v
+    zo_ref[:] = z
+    yo_ref[:] = y
+
+
+@functools.partial(
+    jax.jit, static_argnames=("iters", "alpha", "sigma", "interpret"))
+def fused_structured_round(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y,
+                           iters: int, alpha: float, sigma: float,
+                           interpret: bool = False):
+    """Generic-QP counterpart of :func:`fused_admm_round`. Lane-major shapes:
+    Ci/Wp (N, nb, nb, B), ac/ap (N, r, nb, B), q/v (N, nb, B),
+    lb/ub/rho/z/y (N, r, B). Returns (v, z, y)."""
+    n, _, _, B = Ci.shape
+    kern = functools.partial(_structured_round_kernel, iters=iters,
+                             alpha=alpha, sigma=sigma, n=n)
+
+    def run_chunk(args):
+        Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y = args
+        return pl.pallas_call(
+            kern,
+            out_shape=(
+                jax.ShapeDtypeStruct(v.shape, v.dtype),
+                jax.ShapeDtypeStruct(z.shape, z.dtype),
+                jax.ShapeDtypeStruct(y.shape, y.dtype),
+            ),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
+            scratch_shapes=[
+                pltpu.VMEM(v.shape, v.dtype),   # sweep buffer
+                pltpu.VMEM(v.shape, v.dtype),   # rhs buffer
+            ],
+            interpret=interpret,
+        )(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y)
+
+    if B <= _MAX_LANES:
+        return run_chunk((Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y))
+    assert B % _MAX_LANES == 0
+    outs = []
+    for c in range(B // _MAX_LANES):
+        sl = slice(c * _MAX_LANES, (c + 1) * _MAX_LANES)
+        outs.append(run_chunk(tuple(
+            a[..., sl] for a in (Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y))))
+    return tuple(jnp.concatenate([o[i] for o in outs], axis=-1)
+                 for i in range(3))
 
 
 @functools.partial(
