@@ -1,0 +1,96 @@
+"""Corridor search tests: the A* lattice variant (reference graphSearch,
+reference_path_smoother.cpp:297-484) against behavioral properties and the DP
+variant, plus an end-to-end pipeline run with corridor_method="ASTAR"."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_pathopt import corridor, maps, pipeline, splines
+from tpu_pathopt.config import PlannerConfig
+
+CFG = PlannerConfig()
+
+
+@pytest.fixture(scope="module")
+def blocky_map():
+    """Corridor with an asymmetric obstacle block on the upper side."""
+    res, size = 0.2, 300
+    mask = np.zeros((size, size), bool)
+    yy = (0.5 * size - 0.5 - np.arange(size)) * res
+    xx = (0.5 * size - 0.5 - np.arange(size)) * res
+    mask[:, np.abs(yy) >= 12.0] = True
+    mask[np.ix_((xx >= -5) & (xx <= 0), (yy >= -1) & (yy <= 12))] = True
+    return maps.build_map(jnp.asarray(mask), resolution=res)
+
+
+def _straight_ref(length=50.0, x0=-25.0):
+    s = jnp.linspace(0.0, length, 16)
+    xs = splines.fit_natural(s, x0 + s)
+    ys = splines.fit_natural(s, jnp.zeros_like(s))
+    return xs, ys, length
+
+
+def test_astar_corridor_avoids_obstacle(blocky_map):
+    xs, ys, length = _straight_ref()
+    cor = jax.jit(corridor.search_corridor_astar, static_argnums=7)(
+        blocky_map, xs, ys, length, -25.0, 0.3, 0.0, CFG)
+    assert bool(cor.ok)
+    n = int(cor.n_layers)
+    assert n >= 10
+    ls = np.asarray(cor.layers_s)[:n]
+    lo = np.asarray(cor.lower)[:n]
+    up = np.asarray(cor.upper)[:n]
+    assert (up[1:] >= lo[1:]).all()
+    # Layers facing the obstacle block (x in [-5, 0] -> s in [20, 25]) must
+    # have their upper bound below the block's lower edge (y = -1).
+    zone = (ls >= 20.5) & (ls <= 24.5) & (np.arange(n) > 0)
+    assert zone.any()
+    assert up[zone].max() < -0.9
+    # Free layers keep a wide corridor inside the +-12 m walls.
+    free = (ls > 30.0) & (ls < 45.0)
+    assert (up[free] > 5.0).all() and (lo[free] < -5.0).all()
+
+
+def test_astar_matches_dp_on_free_map():
+    """On an obstacle-free corridor both variants must return near-identical
+    corridors (the walls dominate; costs differ but the geometry agrees)."""
+    res, size = 0.2, 300
+    mask = np.zeros((size, size), bool)
+    yy = (0.5 * size - 0.5 - np.arange(size)) * res
+    mask[:, np.abs(yy) >= 12.0] = True
+    gm = maps.build_map(jnp.asarray(mask), resolution=res)
+    xs, ys, length = _straight_ref()
+    cor_a = corridor.search_corridor_astar(gm, xs, ys, length,
+                                           -25.0, 0.0, 0.0, CFG)
+    cor_d = corridor.search_corridor(gm, xs, ys, length, -25.0, 0.0, 0.0, CFG)
+    na, nd = int(cor_a.n_layers), int(cor_d.n_layers)
+    assert na == nd
+    # Expansion thresholds differ slightly (1.2/1.3 half-width vs the DP
+    # variant's half-width + 0.2 = 1.2 m for the 2 m car) -> one 0.2 m step.
+    np.testing.assert_allclose(np.asarray(cor_a.upper[1:na]),
+                               np.asarray(cor_d.upper[1:nd]), atol=0.41)
+    np.testing.assert_allclose(np.asarray(cor_a.lower[1:na]),
+                               np.asarray(cor_d.lower[1:nd]), atol=0.41)
+
+
+def test_pipeline_with_astar(blocky_map):
+    cfg = PlannerConfig(corridor_method="ASTAR")
+    sc = pipeline.Scenario(
+        raw_x=jnp.asarray(np.concatenate([np.linspace(-25, 25, 8),
+                                          np.full(8, 25.0)]), jnp.float32),
+        raw_y=jnp.zeros((16,), jnp.float32),
+        n_raw=jnp.asarray(8, jnp.int32),
+        start_x=jnp.asarray(-25.0), start_y=jnp.asarray(0.0),
+        start_heading=jnp.asarray(0.0), start_k=jnp.asarray(0.0),
+        target_x=jnp.asarray(25.0), target_y=jnp.asarray(0.0),
+        target_heading=jnp.asarray(0.0))
+    out = pipeline.solve(blocky_map, sc, cfg)
+    assert bool(out.ok)
+    nv = int(out.n_valid)
+    x = np.asarray(out.x)[:nv]
+    y = np.asarray(out.y)[:nv]
+    zone = (x >= -5.5) & (x <= 0.5)
+    assert zone.any()
+    assert y[zone].max() < -0.9

@@ -45,6 +45,11 @@ class PlannerConfig:
     tension_2_curvature_rate_weight: float = 10.0
     search_obstacle_cost: float = 0.4
     search_deviation_cost: float = 0.4
+    # Corridor search variant: "DP" (graphSearchDp — the live path in the
+    # reference, reference_path_smoother.cpp:31-45) or "ASTAR" (graphSearch,
+    # :297-484 — present-but-uncalled in the reference; exposed here as a
+    # real toggle).
+    corridor_method: str = "DP"
 
     # --- DP corridor search weights (hardcoded in reference at
     #     reference_path_smoother.cpp:113-117) ---

@@ -12,8 +12,17 @@ feeds the post-smoothing QP.
 Everything is fixed-shape: L static layers x K static laterals, a ``lax.scan``
 over layers for the DP (the lateral dimension is fully vectorized, K x K edge
 costs per step), a reverse scan for backtracking, and masked fixed-iteration
-marches for the corridor expansion. The A* variant of the reference
-(graphSearch, :297-484) is dead code there — only the DP path is rebuilt.
+marches for the corridor expansion.
+
+``search_corridor_astar`` rebuilds the reference's A* variant (graphSearch,
+:297-484, with getG :91-105 and getH :645-651). The reference's heuristic
+``h = 0.1 * (target_s - s)`` is constant within a layer and the lattice is a
+layered DAG (edges only go layer i -> i+1), so a full per-layer relaxation
+scan computes the exact min-g label for every node — the priority queue only
+changes *expansion order*, never which parent wins a node under relaxation.
+The reference's h is non-admissible (its own comment at :646) and can return
+suboptimal paths; this rebuild always returns the true min-g path, a
+documented, knowingly-fixed divergence (SURVEY.md §7 quirks policy).
 """
 
 from __future__ import annotations
@@ -85,7 +94,9 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
     ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9, 1e-9, ref_k)
     radius_bad = ((ref_k[:, None] < 0) & (lat[None, :] < ref_r[:, None])) | \
                  ((ref_k[:, None] > 0) & (lat[None, :] > ref_r[:, None]))
-    feasible = ~(radius_bad | (dis < threshold))
+    # The reference samples offsets in [-range, range] only (:176-179); the
+    # static K-wide grid can overshoot by one spacing step, so mask it.
+    feasible = ~(radius_bad | (dis < threshold)) & (lat[None, :] <= lat_range)
     # Layer 0: only the start node, forced feasible (:200-205).
     k_idx = jnp.arange(K)
     feasible = feasible.at[0].set(k_idx == start_idx)
@@ -206,6 +217,175 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
     upper = upper.at[0].set(10.0)
     lower = lower.at[0].set(-10.0)
     # Mask layers beyond the backtracked path.
+    valid = jnp.arange(L) <= max_layer
+    upper = jnp.where(valid, upper, 0.0)
+    lower = jnp.where(valid, lower, 0.0)
+
+    return Corridor(layers_s=layers_s, lower=lower, upper=upper,
+                    n_layers=(max_layer + 1).astype(jnp.int32),
+                    vehicle_l=vehicle_l.astype(dt), ok=ok)
+
+
+def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
+                          ys: splines.CubicSpline, length, start_x, start_y,
+                          start_heading, config: PlannerConfig) -> Corridor:
+    """A*-lattice corridor search (reference graphSearch,
+    reference_path_smoother.cpp:297-484).
+
+    Differences from the DP variant, mirrored from the reference:
+    - node feasibility threshold ``1.2 * half_width`` (:345, search_k) and the
+      turn-radius limit *clamps the sampling range* (:332-339) instead of
+      marking nodes infeasible;
+    - per-node cost is getG (:91-105): obstacle proximity under a 5 m safety
+      distance plus lateral-deviation cost — no smoothness/edge term, so the
+      edge only gates feasibility via the 60-degree direction limit (:421);
+    - corridor expansion thresholds are asymmetric: ``1.3 * half_width`` on
+      the upper side (:458), ``1.2 * half_width`` on the lower (:471).
+    """
+    cfg = config
+    L = cfg.dp_layers
+    K = cfg.dp_laterals
+    lat_range = cfg.search_lateral_range
+    lat_ds = cfg.search_lateral_spacing
+    dt = jnp.float32
+    half_width = cfg.car_width * 0.5
+
+    # --- Layers (:304-311), identical to the DP variant ---
+    proj_s = splines.project(xs, ys, start_x, start_y, length)
+    search_ds = jnp.where(length > 6.0, cfg.search_longitudinal_spacing, 0.5)
+    j = jnp.arange(L, dtype=dt)
+    n_interior = jnp.ceil((length - proj_s) / search_ds -
+                          1e-6).astype(jnp.int32)
+    n_layers = jnp.clip(n_interior + 1, 1, L)
+    layers_s = jnp.where(j < (n_layers - 1).astype(dt),
+                         proj_s + j * search_ds, length)
+
+    # --- Start node = actual vehicle pose (:322-329) ---
+    px = splines.evaluate(xs, proj_s)
+    py = splines.evaluate(ys, proj_s)
+    ph = splines.heading(xs, ys, proj_s)
+    _, vehicle_l, _ = global_to_local(px, py, ph, start_x, start_y)
+    ok = jnp.abs(vehicle_l) <= lat_range
+
+    # --- Lattice nodes; range clamped by the turn radius (:330-347) ---
+    lat = -lat_range + lat_ds * jnp.arange(K, dtype=dt)      # (K,)
+    ref_x = splines.evaluate(xs, layers_s)                    # (L,)
+    ref_y = splines.evaluate(ys, layers_s)
+    ref_h = splines.heading(xs, ys, layers_s)
+    ref_k = splines.curvature(xs, ys, layers_s)
+    node_x, node_y = normal_offset(ref_x[:, None], ref_y[:, None],
+                                   ref_h[:, None], lat[None, :])   # (L, K)
+    inside = maps.is_inside(gm, node_x, node_y)
+    dis = jnp.where(inside, maps.obstacle_distance(gm, node_x, node_y), -1.0)
+    ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9, 1e-9, ref_k)
+    in_range = jnp.where(ref_r[:, None] > 0,
+                         lat[None, :] <= jnp.minimum(lat_range, ref_r[:, None]),
+                         lat[None, :] >= jnp.maximum(-lat_range,
+                                                     ref_r[:, None]))
+    feasible = in_range & (dis > 1.2 * half_width)
+
+    # --- Rough per-layer bounds from lateral contiguity (:349-361) ---
+    def hold_scan(feas, vals, reverse):
+        def step(carry, inp):
+            f_prev, b_prev = carry
+            f, v = inp
+            b = jnp.where(f_prev & f, b_prev, v)
+            return (f, b), b
+        xs_in = (feas.T, vals.T) if not reverse else (feas[:, ::-1].T,
+                                                      vals[:, ::-1].T)
+        (_, _), out = jax.lax.scan(
+            step, (jnp.zeros_like(feas[:, 0]), vals[:, 0] * 0.0), xs_in)
+        out = out.T
+        return out if not reverse else out[:, ::-1]
+
+    lat_grid = jnp.broadcast_to(lat, (L, K))
+    rough_lb = hold_scan(feasible, lat_grid, reverse=False)
+    rough_ub = hold_scan(feasible, lat_grid, reverse=True)
+
+    # --- Per-node g increment = getG (:91-105): obstacle + deviation ---
+    safety_distance = 5.0
+    self_cost = jnp.where(
+        dis < safety_distance,
+        (safety_distance - dis) / safety_distance * cfg.search_obstacle_cost,
+        0.0)
+    self_cost = self_cost + jnp.abs(lat)[None, :] / lat_range \
+        * cfg.search_deviation_cost
+
+    # --- Layered relaxation (exact min-g; replaces the priority queue) ---
+    tan60 = jnp.tan(jnp.deg2rad(60.0))
+    k_idx = jnp.arange(K)
+
+    def relax_step(carry, inp):
+        g_p, l_p, s_p, alive = carry
+        feas_l, self_l, s_l, l_l = inp
+        # 60-degree transition gate (:421): |atan2(dl, ds)| <= 60 deg.
+        edge_ok = jnp.abs(l_l[None, :] - l_p[:, None]) <= tan60 * (s_l - s_p)
+        total = g_p[:, None] + self_l[None, :]
+        total = jnp.where(edge_ok & feas_l[None, :], total, _INF)
+        best_prev = jnp.argmin(total, axis=0)                 # (K,)
+        best_g = jnp.take_along_axis(total, best_prev[None, :], 0)[0]
+        layer_alive = alive & jnp.any(best_g < _INF)
+        g_n = jnp.where(layer_alive, best_g, _INF)
+        return ((g_n, l_l, s_l, layer_alive),
+                (g_n, best_prev, layer_alive))
+
+    # Layer 0 is the single start node at l = vehicle_l: seed the frontier
+    # with a degenerate "lattice" whose every column is the start node.
+    g0 = jnp.zeros((K,), dt)
+    l0 = jnp.full((K,), vehicle_l, dt)
+    init = (g0, l0, layers_s[0], jnp.asarray(True))
+    in_mask = jnp.arange(1, L) < n_layers
+    feas_in = feasible[1:] & in_mask[:, None]
+    _, (gs, parents, alives) = jax.lax.scan(
+        relax_step, init, (feas_in, self_cost[1:], layers_s[1:],
+                           jnp.broadcast_to(lat, (L - 1, K))))
+    gs = jnp.concatenate([jnp.where(k_idx == 0, 0.0, _INF)[None], gs])
+    parents = jnp.concatenate([jnp.zeros((1, K), jnp.int32), parents])
+    alives = jnp.concatenate([jnp.asarray([True]), alives])
+
+    max_layer = jnp.max(jnp.where(alives & (jnp.arange(L) < n_layers),
+                                  jnp.arange(L), 0))
+
+    # --- Backtrack from min-g node in the deepest reached layer (:430-447;
+    # h is constant per layer so argmin f == argmin g) ---
+    best_k_last = jnp.argmin(gs[max_layer])
+
+    def back_step(k_next, inp):
+        layer_idx, parent_row = inp
+        on_path = layer_idx <= max_layer
+        k = jnp.where(layer_idx == max_layer, best_k_last, k_next)
+        k_prev = parent_row[k]
+        return jnp.where(on_path, k_prev, k_next), (k, on_path)
+
+    _, (path_k, _) = jax.lax.scan(
+        back_step, best_k_last, (jnp.arange(L), parents), reverse=True)
+
+    # --- Corridor expansion (:449-484): asymmetric thresholds ---
+    node_lb = jnp.take_along_axis(rough_lb, path_k[:, None], 1)[:, 0]
+    node_ub = jnp.take_along_axis(rough_ub, path_k[:, None], 1)[:, 0]
+
+    def expand(base, sign, threshold):
+        t = jnp.arange(_EXPAND_STEPS, dtype=dt)
+        cand = base[:, None] + sign * _CHECK_S * t[None, :]    # (L, T)
+        within = (sign * cand) < _CHECK_LIMIT
+        cx, cy = normal_offset(ref_x[:, None], ref_y[:, None],
+                               ref_h[:, None], cand)
+        good = maps.is_inside(gm, cx, cy) & \
+            (maps.obstacle_distance(gm, cx, cy) > threshold)
+        fail = within & ~good
+        first_fail = jnp.argmax(
+            jnp.concatenate([fail, jnp.ones((L, 1), bool)], 1).astype(jnp.int32),
+            axis=1)
+        exited = first_fail >= jnp.sum(within.astype(jnp.int32), axis=1)
+        n_within = jnp.sum(within.astype(jnp.int32), axis=1)
+        result_fail = base + sign * _CHECK_S * (first_fail.astype(dt) - 1.0)
+        result_exit = base + sign * _CHECK_S * n_within.astype(dt)
+        return jnp.where(exited, result_exit, result_fail)
+
+    upper = expand(node_ub + _CHECK_S, +1.0, 1.3 * half_width)
+    lower = expand(node_lb - _CHECK_S, -1.0, 1.2 * half_width)
+    upper = upper.at[0].set(10.0)
+    lower = lower.at[0].set(-10.0)
     valid = jnp.arange(L) <= max_layer
     upper = jnp.where(valid, upper, 0.0)
     lower = jnp.where(valid, lower, 0.0)

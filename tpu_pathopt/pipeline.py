@@ -145,9 +145,13 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
     # --- 4. Smoothed-spline refit + DP corridor search (graphSearchDp,
     # :142-295), per scenario. The reference extends the smoothed spline 3 m
     # past the fit (tension_smoother.cpp:40-41). ---
+    search_fn = (corridor.search_corridor_astar
+                 if cfg.corridor_method == "ASTAR"
+                 else corridor.search_corridor)
+
     def mid(sc, x2_i, y2_i, n2_i):
         xs2, ys2, s2_max = _refit_splines(x2_i, y2_i, n2_i)
-        cor = corridor.search_corridor(
+        cor = search_fn(
             gm, xs2, ys2, s2_max + 3.0, sc.start_x, sc.start_y,
             sc.start_heading, cfg)
         return xs2, ys2, cor
