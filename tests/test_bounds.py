@@ -77,3 +77,43 @@ def test_update_bounds_blocked():
     assert int(cb.n_valid) < int(ref.n_valid)
     s_blocked = float(ref.s[int(cb.n_valid)])
     assert 6.0 < s_blocked < 12.5  # front axle (3.9 m ahead) hits the wall early
+
+
+def test_update_bounds_on_input_states_zero_error_equals_center():
+    """With zero heading error the scaled axle offsets L*(1-cos(0)) vanish, so
+    front/rear bounds coincide with the center corridor
+    (reference_path_impl.cpp:129-130)."""
+    cfg = PlannerConfig(n_knots=64)
+    gm = _corridor_map()
+    s = np.linspace(0, 12, 30)
+    xs = splines.fit_natural(jnp.asarray(s), jnp.asarray(s - 8.0))
+    ys = splines.fit_natural(jnp.asarray(s), jnp.zeros(30))
+    ref = build_reference_from_spline(xs, ys, jnp.asarray(12.0), 64, cfg)
+    cb = bounds.update_bounds_on_input_states(
+        gm, xs, ys, ref, jnp.zeros((64,)), cfg)
+    nv = int(cb.n_valid)
+    np.testing.assert_allclose(np.asarray(cb.front_ub)[:nv],
+                               np.asarray(cb.center_ub)[:nv], atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cb.rear_lb)[:nv],
+                               np.asarray(cb.center_lb)[:nv], atol=1e-5)
+    # Interior knots: the straight-corridor analytic corridor (see
+    # test_update_bounds_straight_reference).
+    np.testing.assert_allclose(np.asarray(cb.front_ub)[: nv - 2], 3.75,
+                               atol=0.2)
+
+
+def test_update_bounds_on_input_states_heading_error_shrinks():
+    """Nonzero heading error pulls the probe centers toward the state (smaller
+    axle offsets) — bounds stay finite and the corridor stays symmetric."""
+    cfg = PlannerConfig(n_knots=64)
+    gm = _corridor_map()
+    s = np.linspace(0, 12, 30)
+    xs = splines.fit_natural(jnp.asarray(s), jnp.asarray(s - 8.0))
+    ys = splines.fit_natural(jnp.asarray(s), jnp.zeros(30))
+    ref = build_reference_from_spline(xs, ys, jnp.asarray(12.0), 64, cfg)
+    cb = bounds.update_bounds_on_input_states(
+        gm, xs, ys, ref, jnp.full((64,), 0.3), cfg)
+    nv = int(cb.n_valid)
+    assert nv > 10
+    assert (np.asarray(cb.front_ub)[:nv - 2] > 3.0).all()
+    assert (np.asarray(cb.front_lb)[:nv - 2] < -3.0).all()

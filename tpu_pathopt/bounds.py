@@ -112,6 +112,26 @@ def clearance_strict(gm: maps.GridMap, x, y, heading, config: PlannerConfig):
     return jnp.where(invalid, zero, left), jnp.where(invalid, zero, right)
 
 
+def update_bounds_on_input_states(gm: maps.GridMap, xs: splines.CubicSpline,
+                                  ys: splines.CubicSpline, ref: RefStates,
+                                  input_d_heading,
+                                  config: PlannerConfig) -> CorridorBounds:
+    """Bound re-extraction around a solved path
+    (``updateBoundsOnInputStates``, reference_path_impl.cpp:117-175): identical
+    to ``update_bounds`` except the axle offsets shrink with the input path's
+    heading error, ``L_new = L * (1 - cos(d_heading))`` (:129-130), and the
+    center corridor is always extracted (:161). The reference declares this
+    for re-extraction between the two SQP passes but leaves the call commented
+    out (path_optimizer.cpp:148); it is exposed here as a real API.
+    """
+    one_minus_cos = 1.0 - jnp.cos(input_d_heading)
+    return _update_bounds_impl(
+        gm, xs, ys, ref,
+        front_len=config.front_length * one_minus_cos,
+        rear_len=config.rear_length * one_minus_cos,
+        config=config, with_center=True)
+
+
 def update_bounds(gm: maps.GridMap, xs: splines.CubicSpline,
                   ys: splines.CubicSpline, ref: RefStates,
                   config: PlannerConfig,
@@ -122,8 +142,18 @@ def update_bounds(gm: maps.GridMap, xs: splines.CubicSpline,
 
     ``with_center`` additionally fills the center-state corridor. The
     reference computes it too (reference_path_impl.cpp:207) but the path QP
-    only consumes front/rear (base_solver.cpp:193-206), so the pipeline skips
-    it — a third of the clearance ray-marching cost."""
+    only consumes front/rear (base_solver.cpp:193-206) unless
+    rough_constraints_far_away is on, so the pipeline can skip it — a third of
+    the clearance ray-marching cost."""
+    return _update_bounds_impl(gm, xs, ys, ref,
+                               front_len=jnp.asarray(config.front_length),
+                               rear_len=jnp.asarray(config.rear_length),
+                               config=config, with_center=with_center)
+
+
+def _update_bounds_impl(gm, xs, ys, ref: RefStates, front_len, rear_len,
+                        config: PlannerConfig,
+                        with_center: bool) -> CorridorBounds:
     cfg = config
     eps = cfg.epsilon
 
@@ -146,8 +176,8 @@ def update_bounds(gm: maps.GridMap, xs: splines.CubicSpline,
         _, off, _ = global_to_local(cx, cy, ref.heading, px, py)
         return left + off, right + off
 
-    front_ub, front_lb = axle_bounds(cfg.front_length)
-    rear_ub, rear_lb = axle_bounds(cfg.rear_length)
+    front_ub, front_lb = axle_bounds(front_len)
+    rear_ub, rear_lb = axle_bounds(rear_len)
     if with_center:
         center_ub, center_lb = clearance_strict(gm, ref.x, ref.y, ref.heading,
                                                 cfg)

@@ -200,7 +200,10 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
         ref = refpath.build_reference_from_spline(xs3, ys3, length3, N, cfg)
 
         # Collision bounds + blocked truncation (updateBoundsImproved).
-        cb = bounds_mod.update_bounds(gm, xs3, ys3, ref, cfg)
+        # Center bounds are only consumed by the rough far-away rows.
+        cb = bounds_mod.update_bounds(
+            gm, xs3, ys3, ref, cfg,
+            with_center=cfg.rough_constraints_far_away)
         n_valid = jnp.minimum(ref.n_valid, cb.n_valid)
         ref = ref.replace(n_valid=n_valid)
         return ref, cb, init_offset, init_heading_error, ok_init, n_valid
@@ -223,7 +226,8 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
             init_offset=io, init_heading_error=ie,
             start_k=sc.start_k,
             target_heading=sc.target_heading, blocked=cb_i.blocked,
-            n_valid=nv, config=cfg)
+            n_valid=nv, config=cfg,
+            center_lb=cb_i.center_lb, center_ub=cb_i.center_ub)
 
     B = n_valid.shape[0]
     zeros = jnp.zeros((B, N))

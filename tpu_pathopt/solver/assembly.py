@@ -92,6 +92,7 @@ def assemble_path_qp(
     target_heading, blocked,
     n_valid,
     config: PlannerConfig,
+    center_lb=None, center_ub=None,
 ) -> PathQP:
     """Build the structured QP. All per-knot arrays have static length N.
 
@@ -165,6 +166,27 @@ def assemble_path_qp(
     r_lb, r_ub = soft_bounds(rear_lb, rear_ub, config.expected_safety_margin)
     coll_lb = jnp.stack([f_lb, r_lb], axis=-1)
     coll_ub = jnp.stack([f_ub, r_ub], axis=-1)
+    if config.rough_constraints_far_away:
+        # Beyond precise_planning_length, the reference drops to a single
+        # center-corridor row per knot with one slack (base_solver.cpp:25-37,
+        # :193-206, :232-248). Fixed-shape version: row 0 becomes the center
+        # row (l + s_front in center soft bounds), row 1 pins the now-unused
+        # rear slack to 0 so the static 2-row layout is preserved.
+        assert center_lb is not None and center_ub is not None, \
+            "rough_constraints_far_away needs center bounds " \
+            "(update_bounds(..., with_center=True))"
+        rough = (ref_s >= config.precise_planning_length) & knot_mask
+        cc = jnp.asarray([1.0, 0.0, 0.0, 0.0, 1.0, 0.0], dt)
+        pin_r = jnp.asarray([0.0, 0.0, 0.0, 0.0, 0.0, 1.0], dt)
+        rough_coef = jnp.broadcast_to(jnp.stack([cc, pin_r]), (N, 2, NB))
+        coll_coef = jnp.where(rough[:, None, None], rough_coef, coll_coef)
+        c_lb, c_ub = soft_bounds(center_lb, center_ub,
+                                 config.expected_safety_margin)
+        zero = jnp.zeros_like(c_lb)
+        coll_lb = jnp.where(rough[:, None],
+                            jnp.stack([c_lb, zero], axis=-1), coll_lb)
+        coll_ub = jnp.where(rough[:, None],
+                            jnp.stack([c_ub, zero], axis=-1), coll_ub)
     # Padded knots: pin rows to 0 (vars are pinned to 0 by the transition pins,
     # so [0, 0] bounds keep the rows consistent and well-conditioned).
     coll_lb = jnp.where(knot_mask[:, None], coll_lb, 0.0)
