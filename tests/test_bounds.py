@@ -117,3 +117,33 @@ def test_update_bounds_on_input_states_heading_error_shrinks():
     assert nv > 10
     assert (np.asarray(cb.front_ub)[:nv - 2] > 3.0).all()
     assert (np.asarray(cb.front_lb)[:nv - 2] < -3.0).all()
+
+
+def test_dynamic_segmentation_shrinks_spacing_in_curves():
+    """enable_dynamic_segmentation: spacing ramps from output_spacing to half
+    of it as |k| rises through [0.08, 0.2] (reference_path_impl.cpp:321-335)."""
+    cfg = PlannerConfig(n_knots=128, enable_dynamic_segmentation=True)
+    # Quarter circle of radius 8 (k = 0.125 -> k_share = 0.375 -> ds = 0.2625)
+    t = np.linspace(0, np.pi / 2, 40)
+    s_arc = 8.0 * t
+    xs = splines.fit_natural(jnp.asarray(s_arc), jnp.asarray(8 * np.sin(t)))
+    ys = splines.fit_natural(jnp.asarray(s_arc), jnp.asarray(8 - 8 * np.cos(t)))
+    ref = build_reference_from_spline(xs, ys, jnp.asarray(float(s_arc[-1])),
+                                      128, cfg)
+    nv = int(ref.n_valid)
+    ds = np.diff(np.asarray(ref.s)[:nv])
+    # Interior spacing must sit near the ramped value, below 0.3.
+    assert (ds[2:-2] < 0.29).all() and (ds[2:-2] > 0.2).all()
+    np.testing.assert_allclose(ds[5:-5].mean(), 0.2625, atol=0.02)
+
+    # Straight line: dynamic segmentation must reproduce the fixed grid.
+    s_l = np.linspace(0, 12, 30)
+    xs_l = splines.fit_natural(jnp.asarray(s_l), jnp.asarray(s_l))
+    ys_l = splines.fit_natural(jnp.asarray(s_l), jnp.zeros(30))
+    ref_l = build_reference_from_spline(xs_l, ys_l, jnp.asarray(12.0), 64,
+                                        PlannerConfig(
+                                            n_knots=64,
+                                            enable_dynamic_segmentation=True))
+    nvl = int(ref_l.n_valid)
+    np.testing.assert_allclose(np.diff(np.asarray(ref_l.s)[:nvl]), 0.3,
+                               atol=1e-3)

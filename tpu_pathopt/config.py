@@ -83,10 +83,12 @@ class PlannerConfig:
     # latency — 12 keeps a 4-iteration safety margin while matching the
     # reference's answers to f32 precision.
     newton_iters: int = 12
-    enable_dynamic_segmentation: bool = False  # batched path uses fixed spacing;
-                                               # the reference's variable-knot
-                                               # "dynamic segmentation" (§2.6)
-                                               # breaks fixed shapes.
+    # Curvature-adaptive resampling (reference_path_impl.cpp:321-335, default
+    # ON in the reference): spacing ramps from output_spacing down to half of
+    # it as |k| rises through [0.08, 0.2]. Implemented as a fixed-length scan
+    # (static shapes); off by default for throughput — the sequential
+    # per-knot spline evals cost ~N scan steps per scenario.
+    enable_dynamic_segmentation: bool = False
     rough_constraints_far_away: bool = False
     precise_planning_length: float = 30.0
 

@@ -52,20 +52,39 @@ class CorridorBounds:
 def build_reference_from_spline(xs: splines.CubicSpline, ys: splines.CubicSpline,
                                 max_s, n_knots: int,
                                 config: PlannerConfig) -> RefStates:
-    """Sample the smoothed spline at fixed ``output_spacing``
+    """Sample the smoothed spline at ``output_spacing``
     (reference: buildReferenceFromSpline, reference_path_impl.cpp:314-338).
 
-    The reference optionally halves the spacing in high-curvature sections
-    ("dynamic segmentation"); that produces data-dependent knot counts, so the
-    batched engine uses fixed spacing (config.enable_dynamic_segmentation is
-    documented as unsupported on the batched path).
+    With ``config.enable_dynamic_segmentation`` the spacing shrinks toward
+    ``output_spacing / 2`` where |k| ramps through [0.08, 0.2] (:321-335, the
+    reference's delta_s_smaller=0.15 at path_optimizer.cpp:119). The
+    reference's while-loop produces a data-dependent knot count; here the same
+    recurrence runs as a fixed-length ``lax.scan`` over the static N knots
+    with the tail clamped to ``max_s`` and masked via ``n_valid``, so shapes
+    stay static. Off by default: the per-step sequential spline evals cost
+    throughput and the fixed-spacing grid already resolves the demo scenarios.
     """
     ds = config.output_spacing
-    i = jnp.arange(n_knots, dtype=jnp.float32)
-    s = i * ds
-    n_valid = jnp.minimum(
-        (jnp.floor(max_s / ds).astype(jnp.int32) + 1),
-        jnp.asarray(n_knots, jnp.int32))
+    max_s = jnp.asarray(max_s, jnp.float32)
+    if config.enable_dynamic_segmentation:
+        ds_small = ds / 2.0
+        large_k, small_k = 0.2, 0.08
+
+        def step(s_cur, _):
+            k_i = splines.curvature(xs, ys, s_cur)
+            share = jnp.clip((jnp.abs(k_i) - small_k) / (large_k - small_k),
+                             0.0, 1.0)
+            return s_cur + ds - share * (ds - ds_small), s_cur
+
+        _, s = jax.lax.scan(step, jnp.asarray(0.0, jnp.float32), None,
+                            length=n_knots)
+        n_valid = jnp.sum((s <= max_s).astype(jnp.int32))
+    else:
+        i = jnp.arange(n_knots, dtype=jnp.float32)
+        s = i * ds
+        n_valid = jnp.minimum(
+            (jnp.floor(max_s / ds).astype(jnp.int32) + 1),
+            jnp.asarray(n_knots, jnp.int32))
     s = jnp.minimum(s, max_s)
     x = splines.evaluate(xs, s)
     y = splines.evaluate(ys, s)
