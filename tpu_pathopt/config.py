@@ -105,6 +105,19 @@ class PlannerConfig:
     qp_max_iter: int = 4000
     qp_check_every: int = 25
 
+    def __post_init__(self):
+        # The reference registers gflags validators for its method strings
+        # (planning_flags.cpp:28-32, :75-79); mirror that instead of silently
+        # falling back on a typo.
+        if self.smoothing_method not in ("TENSION", "TENSION2"):
+            raise ValueError(
+                f"smoothing_method must be 'TENSION' or 'TENSION2', "
+                f"got {self.smoothing_method!r}")
+        if self.corridor_method not in ("DP", "ASTAR"):
+            raise ValueError(
+                f"corridor_method must be 'DP' or 'ASTAR', "
+                f"got {self.corridor_method!r}")
+
     @property
     def kappa_limit(self) -> float:
         # base_solver.cpp:226

@@ -38,7 +38,10 @@ from tpu_pathopt.geometry import constrain_angle, global_to_local, normal_offset
 _INF = 1e30
 _CHECK_S = 0.2
 _CHECK_LIMIT = 6.0
-_EXPAND_STEPS = 64  # covers (6 - (-10)) / 0.2 with margin
+# Worst-case march span: a rough bound hugging one wall at -10 m marching to
+# the +6 m check limit = (6 - (-10)) / 0.2 = 80 steps; +2 margin for the
+# initial offset step and the final step-back.
+_EXPAND_STEPS = 82
 
 
 @flax.struct.dataclass
@@ -282,6 +285,10 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
                          lat[None, :] <= jnp.minimum(lat_range, ref_r[:, None]),
                          lat[None, :] >= jnp.maximum(-lat_range,
                                                      ref_r[:, None]))
+    # The static K-wide grid overshoots +lat_range by up to one spacing step;
+    # the reference samples offsets in [-range, range] only (:332-339), so cap
+    # both signs of curvature (mirrors the DP variant's mask above).
+    in_range = in_range & (lat[None, :] <= lat_range)
     feasible = in_range & (dis > 1.2 * half_width)
 
     # --- Rough per-layer bounds from lateral contiguity (:349-361) ---

@@ -82,6 +82,9 @@ class PathResult:
     ok_post: jax.Array      # post-smoothing QP (>= 4 layers + converged)
     ok_init: jax.Array      # initial heading error <= 75 deg
     ok_qp: jax.Array        # both path-QP passes converged
+    # () bool — the static n_knots did not reach the trimmed reference length,
+    # so the end-state rows bind short of the target (see RefStates.truncated).
+    horizon_truncated: jax.Array
 
     @property
     def mask(self):
@@ -265,7 +268,8 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
         s=s_out, n_valid=n_valid, ok=ok, blocked=cb.blocked,
         qp_iters=sol1.iters + sol2.iters,
         ok_input=ok_input, ok_smooth=ok_smooth, ok_corridor=ok_corridor,
-        ok_post=ok_post, ok_init=ok_init, ok_qp=ok_qp)
+        ok_post=ok_post, ok_init=ok_init, ok_qp=ok_qp,
+        horizon_truncated=ref.truncated)
 
 
 def solve(gm: maps.GridMap, sc: Scenario, config: PlannerConfig,

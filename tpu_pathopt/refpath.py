@@ -27,6 +27,11 @@ class RefStates:
     k: jax.Array
     s: jax.Array
     n_valid: jax.Array   # () int32
+    # True when the static N knots did not reach max_s: the end-state rows
+    # (end l in [-1, 1], heading pin) then bind at a knot short of the target.
+    # The reference's growing knot vector cannot truncate; the fixed-shape
+    # build can, so it is surfaced instead of silently clamping.
+    truncated: jax.Array  # () bool
 
     @property
     def mask(self):
@@ -79,15 +84,20 @@ def build_reference_from_spline(xs: splines.CubicSpline, ys: splines.CubicSpline
         _, s = jax.lax.scan(step, jnp.asarray(0.0, jnp.float32), None,
                             length=n_knots)
         n_valid = jnp.sum((s <= max_s).astype(jnp.int32))
+        # All N knots under max_s => the horizon stopped short of the target
+        # (worst case: every spacing halved, N knots cover N*ds/2 meters).
+        truncated = s[-1] < max_s
     else:
         i = jnp.arange(n_knots, dtype=jnp.float32)
         s = i * ds
         n_valid = jnp.minimum(
             (jnp.floor(max_s / ds).astype(jnp.int32) + 1),
             jnp.asarray(n_knots, jnp.int32))
+        truncated = (n_knots - 1) * ds < max_s
     s = jnp.minimum(s, max_s)
     x = splines.evaluate(xs, s)
     y = splines.evaluate(ys, s)
     h = splines.heading(xs, ys, s)
     k = splines.curvature(xs, ys, s)
-    return RefStates(x=x, y=y, heading=h, k=k, s=s, n_valid=n_valid)
+    return RefStates(x=x, y=y, heading=h, k=k, s=s, n_valid=n_valid,
+                     truncated=jnp.asarray(truncated))
