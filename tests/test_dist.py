@@ -63,3 +63,18 @@ def test_graft_entry_compiles():
 def test_graft_dryrun_multichip():
     import __graft_entry__
     __graft_entry__.dryrun_multichip(8)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_sharded_solve_pads_non_divisible_batch():
+    """Batch 13 on an 8-device mesh: padded to 16 internally, result sliced
+    back, stats count only the 13 real scenarios."""
+    gm, scs = _inputs(13)
+    mesh = dist.make_mesh(jax.devices()[:8])
+    res_sh, stats = dist.solve_sharded(gm, scs, TINY, mesh, ST)
+    assert int(stats.n_total) == 13
+    assert res_sh.ok.shape[0] == 13
+    res_local = pipeline.solve_batch(gm, scs, TINY, ST)
+    assert int(stats.n_ok) == int(jnp.sum(res_local.ok.astype(jnp.int32)))
+    np.testing.assert_allclose(np.asarray(res_sh.l), np.asarray(res_local.l),
+                               atol=5e-3)

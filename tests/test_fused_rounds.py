@@ -67,6 +67,86 @@ def test_fused_factor_matches_btridiag():
                                atol=2e-4, rtol=2e-3)
 
 
+def test_fused_factor_non_multiple_batch():
+    """A batch that is neither <= 128 nor a 128-multiple must still go
+    through the kernels (lane padding), with results identical to the
+    per-element factorization on the real lanes."""
+    cfg = PlannerConfig(n_knots=6)
+    st = QPSettings()
+    B = 130
+    rng = np.random.default_rng(3)
+    qp = _chicane_qps(cfg, rng.uniform(-0.8, 0.8, size=B))
+    rk, re, diag, off = _factors(qp, st)
+
+    C, W = jax.vmap(btridiag.factor)(diag, off)
+    Ci_ref, W_ref = btridiag.inv_factors(C, W)
+
+    lane = lambda a: jnp.moveaxis(a, 0, -1)
+    offp = jnp.concatenate([jnp.zeros((B, 1, 6, 6), jnp.float32), off], 1)
+    Ci_l, Wp_l = fused_rounds.fused_factor(lane(diag), lane(offp),
+                                           interpret=True)
+    assert Ci_l.shape[-1] == B and Wp_l.shape[-1] == B
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(Ci_l, -1, 0)),
+                               np.asarray(Ci_ref), atol=2e-4, rtol=2e-3)
+    np.testing.assert_allclose(np.asarray(jnp.moveaxis(Wp_l, -1, 0)[:, 1:]),
+                               np.asarray(W_ref), atol=2e-4, rtol=2e-3)
+
+
+def test_fused_round_non_multiple_batch():
+    """One fused ADMM round at B=130 (two padded lane chunks) matches the
+    XLA round on every real lane."""
+    cfg = PlannerConfig(n_knots=6)
+    st = QPSettings()
+    B = 130
+    rng = np.random.default_rng(4)
+    qp = _chicane_qps(cfg, rng.uniform(-0.8, 0.8, size=B))
+    N = cfg.n_knots
+    dt = jnp.float32
+
+    rk, re, diag, off = _factors(qp, st)
+    C, W = jax.vmap(btridiag.factor)(diag, off)
+    Ci, W = btridiag.inv_factors(C, W)
+    lb_knot, ub_knot, lb_end, ub_end = jax.vmap(assembly.bounds)(qp)
+
+    v = jnp.zeros((B, N, 6), dt)
+    zk, ze = jax.vmap(assembly.a_mul)(qp, v)
+    yk = jnp.zeros((B, N, 6), dt)
+    ye = jnp.zeros((B, 2), dt)
+
+    def step(_, state):
+        v, zk, ze, yk, ye = state
+        rhs = st.sigma * v + jax.vmap(assembly.at_mul)(
+            qp, rk * zk - yk, re * ze - ye)
+        vt = btridiag.solve_batched(Ci, W, rhs)
+        ztk, zte = jax.vmap(assembly.a_mul)(qp, vt)
+        v_new = st.alpha * vt + (1 - st.alpha) * v
+        ztmp_k = st.alpha * ztk + (1 - st.alpha) * zk + yk / rk
+        ztmp_e = st.alpha * zte + (1 - st.alpha) * ze + ye / re
+        zk_new = jnp.clip(ztmp_k, lb_knot, ub_knot)
+        ze_new = jnp.clip(ztmp_e, lb_end, ub_end)
+        return (v_new, zk_new, ze_new, rk * (ztmp_k - zk_new),
+                re * (ztmp_e - ze_new))
+
+    iters = 3
+    ref = jax.lax.fori_loop(0, iters, step, (v, zk, ze, yk, ye))
+
+    lane = lambda a: jnp.moveaxis(a, 0, -1)
+    geom = qp.coll_coef[:1, 0, :, 1]
+    es_l = lane((jnp.arange(N)[None, :] == qp.end_idx[:, None])
+                .astype(dt))[:, None, :]
+    zero_blk = jnp.zeros((B, 1, 6, 6), dt)
+    out = fused_rounds.fused_admm_round(
+        geom, lane(Ci), lane(jnp.concatenate([zero_blk, W], 1)),
+        lane(qp.t_prev), lane(lb_knot), lane(ub_knot), lane(lb_end),
+        lane(ub_end), lane(rk), lane(re), es_l,
+        lane(v), lane(zk), lane(ze), lane(yk), lane(ye),
+        iters=iters, alpha=st.alpha, sigma=st.sigma, interpret=True)
+    for g, r in zip([jnp.moveaxis(o, -1, 0) for o in out], ref):
+        assert g.shape == r.shape
+        np.testing.assert_allclose(np.asarray(g), np.asarray(r),
+                                   atol=5e-3, rtol=5e-3)
+
+
 def test_fused_round_matches_xla_round():
     cfg = PlannerConfig(n_knots=24)
     st = QPSettings()

@@ -72,6 +72,11 @@ def main(argv=None):
                         help="raw ref points as 'x1,y1;x2,y2;...'")
     parser.add_argument("--start", type=str, default=None, help="'x,y,heading'")
     parser.add_argument("--target", type=str, default=None, help="'x,y,heading'")
+    parser.add_argument("--profile", action="store_true",
+                        help="per-stage timing (the reference's TimeRecorder, "
+                             "path_optimizer.cpp:41-69)")
+    parser.add_argument("--small", action="store_true",
+                        help="small static shapes (fast compile preview)")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -85,7 +90,9 @@ def main(argv=None):
     from tpu_pathopt import pipeline, viz
     from tpu_pathopt.config import PlannerConfig
 
-    cfg = PlannerConfig()
+    cfg = (PlannerConfig(n_knots=64, n_segment_points=32, dp_layers=24,
+                         bspline_samples=64, qp_max_iter=1000)
+           if args.small else PlannerConfig())
     if args.map:
         gm = load_png_map(args.map, args.resolution)
         # Default demo route: a wide corridor of the reference's gridmap.png
@@ -122,6 +129,18 @@ def main(argv=None):
     print(f"solve: ok={bool(result.ok)} blocked={bool(result.blocked)} "
           f"knots={nv} qp_iters={int(result.qp_iters)}")
     print(f"timing: first (compile) {t_first:.1f}s, warm {t_warm * 1e3:.1f}ms")
+    if args.profile:
+        from tpu_pathopt import profiling
+        scs1 = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], sc)
+        pipeline.solve_batch_profiled(gm, scs1, cfg)       # compile stages
+        rec = profiling.TimeRecorder("pipeline")
+        pipeline.solve_batch_profiled(gm, scs1, cfg, recorder=rec)
+        print(rec.print_time())
+    if not bool(result.ok):
+        # Failure diagnostic (the reference's logBoundsInfo,
+        # reference_path_impl.cpp:88-95).
+        from tpu_pathopt import diagnostics
+        print(diagnostics.dump_bounds(result))
     if nv:
         k = np.abs(np.asarray(result.k)[:nv]).max()
         print(f"max |curvature| {k:.4f} (limit {cfg.kappa_limit:.4f})")

@@ -34,6 +34,7 @@ import jax.numpy as jnp
 from tpu_pathopt import maps, splines
 from tpu_pathopt.config import PlannerConfig
 from tpu_pathopt.geometry import constrain_angle, global_to_local, normal_offset
+from tpu_pathopt.jaxutil import with_vma_of
 
 _INF = 1e30
 _CHECK_S = 0.2
@@ -113,8 +114,12 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
             return (f, b), b
         xs_in = (feas.T, vals.T) if not reverse else (feas[:, ::-1].T,
                                                       vals[:, ::-1].T)
+        # Carry init derives its varying-axes type from the (shard-varying)
+        # feasibility mask so check_vma-checked shard_map accepts the scan.
         (_, _), out = jax.lax.scan(
-            step, (jnp.zeros_like(feas[:, 0]), vals[:, 0] * 0.0), xs_in)
+            step, (with_vma_of(jnp.zeros_like(feas[:, 0]), feas),
+                   with_vma_of(vals[:, 0] * 0.0, feas.astype(vals.dtype))),
+            xs_in)
         out = out.T
         return out if not reverse else out[:, ::-1]
 
@@ -159,7 +164,8 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
         return ((cost_n, dir_n, x_l, y_l, s_l, layer_alive),
                 (cost_n, best_prev, layer_alive))
 
-    init = (cost0, dir0, node_x[0], node_y[0], layers_s[0], jnp.asarray(True))
+    init = (cost0, dir0, node_x[0], node_y[0], layers_s[0],
+            with_vma_of(jnp.asarray(True), feasible))
     in_mask = jnp.arange(1, L) < n_layers
     feas_in = feasible[1:] & in_mask[:, None]
     _, (costs, parents, alives) = jax.lax.scan(
@@ -300,8 +306,12 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
             return (f, b), b
         xs_in = (feas.T, vals.T) if not reverse else (feas[:, ::-1].T,
                                                       vals[:, ::-1].T)
+        # Carry init derives its varying-axes type from the (shard-varying)
+        # feasibility mask so check_vma-checked shard_map accepts the scan.
         (_, _), out = jax.lax.scan(
-            step, (jnp.zeros_like(feas[:, 0]), vals[:, 0] * 0.0), xs_in)
+            step, (with_vma_of(jnp.zeros_like(feas[:, 0]), feas),
+                   with_vma_of(vals[:, 0] * 0.0, feas.astype(vals.dtype))),
+            xs_in)
         out = out.T
         return out if not reverse else out[:, ::-1]
 
@@ -340,7 +350,7 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
     # with a degenerate "lattice" whose every column is the start node.
     g0 = jnp.zeros((K,), dt)
     l0 = jnp.full((K,), vehicle_l, dt)
-    init = (g0, l0, layers_s[0], jnp.asarray(True))
+    init = (g0, l0, layers_s[0], with_vma_of(jnp.asarray(True), g0))
     in_mask = jnp.arange(1, L) < n_layers
     feas_in = feasible[1:] & in_mask[:, None]
     _, (gs, parents, alives) = jax.lax.scan(

@@ -45,34 +45,50 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("scenarios",))
 
 
+def pad_batch(scenarios: pipeline.Scenario, multiple: int):
+    """Pad a scenario batch up to the next ``multiple`` by edge-replicating
+    the last element. Returns (padded scenarios, valid mask (Bp,), B)."""
+    B = scenarios.n_raw.shape[0]
+    Bp = -(-B // multiple) * multiple
+    if Bp != B:
+        def pad(a):
+            reps = jnp.broadcast_to(a[-1:], (Bp - B,) + a.shape[1:])
+            return jnp.concatenate([a, reps], axis=0)
+        scenarios = jax.tree_util.tree_map(pad, scenarios)
+    return scenarios, jnp.arange(Bp) < B, B
+
+
 def solve_sharded(gm: maps.GridMap, scenarios: pipeline.Scenario,
                   config: PlannerConfig, mesh: Mesh,
                   settings: QPSettings = QPSettings()):
-    """Solve a global batch sharded over the mesh. The batch size must divide
-    evenly by the mesh size. Returns (PathResult sharded, FleetStats
-    replicated)."""
+    """Solve a global batch sharded over the mesh. A batch that does not
+    divide by the mesh size is padded by edge-replication and masked out of
+    the fleet statistics; the result is sliced back to the caller's batch.
+    Returns (PathResult sharded, FleetStats replicated)."""
+    n_shards = int(np.prod(mesh.devices.shape))
+    scenarios, valid, B = pad_batch(scenarios, n_shards)
 
-    # check_vma=False: the solver's while-loop carries start from constants
-    # (unvarying over the mesh axis) and become shard-varying after one round,
-    # which the varying-manual-axes checker would reject. The jit wrapper is
-    # essential: an un-jitted shard_map evaluates its body eagerly per shard.
+    # The jit wrapper is essential: an un-jitted shard_map evaluates its body
+    # eagerly per shard. check_vma stays ON — every scan/while carry in the
+    # engine derives its varying-axes type from problem data
+    # (jaxutil.with_vma_of), so the checker can guard future collectives.
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), P("scenarios")),
+        in_specs=(P(), P("scenarios"), P("scenarios")),
         out_specs=(P("scenarios"), P()),
-        check_vma=False,
     )
-    def _run(gm_rep, scs):
+    def _run(gm_rep, scs, valid):
         res = pipeline.solve_batch(gm_rep, scs, config, settings)
-        n_local = res.ok.shape[0]
-        n_total = jax.lax.psum(jnp.asarray(n_local, jnp.int32), "scenarios")
-        n_ok = jax.lax.psum(jnp.sum(res.ok.astype(jnp.int32)), "scenarios")
-        n_blocked = jax.lax.psum(jnp.sum(res.blocked.astype(jnp.int32)),
-                                 "scenarios")
-        max_iters = jax.lax.pmax(jnp.max(res.qp_iters), "scenarios")
-        sum_iters = jax.lax.psum(jnp.sum(res.qp_iters), "scenarios")
+        vi = valid.astype(jnp.int32)
+        n_total = jax.lax.psum(jnp.sum(vi), "scenarios")
+        n_ok = jax.lax.psum(jnp.sum(res.ok.astype(jnp.int32) * vi),
+                            "scenarios")
+        n_blocked = jax.lax.psum(
+            jnp.sum(res.blocked.astype(jnp.int32) * vi), "scenarios")
+        max_iters = jax.lax.pmax(jnp.max(res.qp_iters * vi), "scenarios")
+        sum_iters = jax.lax.psum(jnp.sum(res.qp_iters * vi), "scenarios")
         stats = FleetStats(
             n_total=n_total, n_ok=n_ok, n_blocked=n_blocked,
             max_qp_iters=max_iters,
@@ -80,4 +96,7 @@ def solve_sharded(gm: maps.GridMap, scenarios: pipeline.Scenario,
             / jnp.maximum(n_total, 1).astype(jnp.float32))
         return res, stats
 
-    return _run(gm, scenarios)
+    res, stats = _run(gm, scenarios, valid)
+    if res.ok.shape[0] != B:
+        res = jax.tree_util.tree_map(lambda a: a[:B], res)
+    return res, stats

@@ -14,6 +14,11 @@ whose factorization control flow is shared across the batch — the difference
 between ~100 and ~1000+ solves/s/chip. ``shard_map`` (see ``tpu_pathopt.dist``)
 shards the batch across a TPU mesh.
 
+The pipeline is decomposed into named stage functions; ``solve_batch`` fuses
+them under one jit (the hot path) while ``solve_batch_profiled`` runs them
+stage-by-stage with host-side timing — the equivalent of the reference's
+``TimeRecorder`` instrumentation (path_optimizer.cpp:41-69).
+
 Stage failures (too few points, >75 deg initial heading error, vehicle too far
 from the reference, short DP corridor, non-converged QPs) follow the
 reference's abort semantics (path_optimizer.cpp:50-66) but are reported as
@@ -32,6 +37,7 @@ from tpu_pathopt import bspline, corridor, maps, refpath, splines
 from tpu_pathopt.config import PlannerConfig
 from tpu_pathopt.geometry import constrain_angle, global_to_local, normal_offset
 from tpu_pathopt.qp.admm import QPSettings
+from tpu_pathopt.refpath import CorridorBounds
 from tpu_pathopt.smoothing import segment_raw_reference
 from tpu_pathopt.smoothing.post_smooth import post_smooth_batched
 from tpu_pathopt.smoothing.tension import tension_smooth_batched
@@ -85,6 +91,10 @@ class PathResult:
     # () bool — the static n_knots did not reach the trimmed reference length,
     # so the end-state rows bind short of the target (see RefStates.truncated).
     horizon_truncated: jax.Array
+    # Per-knot collision corridor used by the path QP — the reference exposes
+    # it via getReferencePath()->getBounds() and dumps it on solver failure
+    # (logBoundsInfo, reference_path_impl.cpp:88-95; see diagnostics.py).
+    bounds: CorridorBounds
 
     @property
     def mask(self):
@@ -107,24 +117,16 @@ def _refit_splines(x, y, n_valid, step=1.0):
     return xs, ys, s_max
 
 
-def solve_batch(gm: maps.GridMap, scenarios: Scenario, config: PlannerConfig,
-                settings: QPSettings = QPSettings()) -> PathResult:
-    """Solve a batch of scenarios sharing one grid map (the
-    scenario-data-parallel axis; SURVEY.md §2.8). Every Scenario leaf has a
-    leading batch dimension."""
-    # TPU matmuls default to bf16 operands; the ADMM iterations need full f32
-    # products or the 2e-3 termination tolerance is unreachable.
-    with jax.default_matmul_precision("highest"):
-        return _solve_batch_impl(gm, scenarios, config, settings)
+# ------------------------------ pipeline stages ------------------------------
+# Each stage is a standalone jittable function over pytrees, shared verbatim
+# by the fused hot path (solve_batch) and the profiled stage-by-stage path
+# (solve_batch_profiled).
 
-
-def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
-                      settings: QPSettings) -> PathResult:
+def stage_prep(scs: Scenario, config: PlannerConfig):
+    """B-spline fit (reference_path_smoother.cpp:490-524) + 1 m segmentation
+    (:47-85), per scenario."""
     cfg = config
-    N = cfg.n_knots
 
-    # --- 1+2. B-spline fit (reference_path_smoother.cpp:490-524) and 1 m
-    # segmentation (:47-85), per scenario ---
     def prep(sc):
         ok_input = sc.n_raw >= 4
         xb, yb, sb, nb = bspline.fit_and_sample(sc.raw_x, sc.raw_y, sc.n_raw,
@@ -132,46 +134,54 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
         return (ok_input,) + segment_raw_reference(xb, yb, sb, nb,
                                                    cfg.n_segment_points)
 
-    ok_input, xg, yg, sg, ang, kg, n_seg = jax.vmap(prep)(scs)
-    ok = ok_input
+    return jax.vmap(prep)(scs)
 
-    # --- 3. Smoothing QP, batched (TENSION2 default;
-    # tension_smoother_2.cpp:20-72) ---
-    if cfg.smoothing_method == "TENSION2":
-        x2, y2, s2, n2, ok_smooth = tension2_smooth_batched(
-            xg, yg, ang, kg, sg, n_seg, cfg, settings)
-    else:
-        x2, y2, s2, n2, ok_smooth = tension_smooth_batched(
-            gm, xg, yg, ang, n_seg, cfg, settings)
-    ok = ok & ok_smooth
 
-    # --- 4. Smoothed-spline refit + DP corridor search (graphSearchDp,
-    # :142-295), per scenario. The reference extends the smoothed spline 3 m
-    # past the fit (tension_smoother.cpp:40-41). ---
+def stage_smooth(gm: maps.GridMap, prep_out, config: PlannerConfig,
+                 settings: QPSettings):
+    """Smoothing QP, batched (TENSION2 default; tension_smoother_2.cpp:20-72)."""
+    ok_input, xg, yg, sg, ang, kg, n_seg = prep_out
+    if config.smoothing_method == "TENSION2":
+        return tension2_smooth_batched(xg, yg, ang, kg, sg, n_seg, config,
+                                       settings)
+    return tension_smooth_batched(gm, xg, yg, ang, n_seg, config, settings)
+
+
+def stage_corridor(gm: maps.GridMap, scs: Scenario, smooth_out,
+                   config: PlannerConfig):
+    """Smoothed-spline refit + DP corridor search (graphSearchDp, :142-295),
+    per scenario. The reference extends the smoothed spline 3 m past the fit
+    (tension_smoother.cpp:40-41)."""
+    x2, y2, s2, n2, ok_smooth = smooth_out
     search_fn = (corridor.search_corridor_astar
-                 if cfg.corridor_method == "ASTAR"
+                 if config.corridor_method == "ASTAR"
                  else corridor.search_corridor)
 
     def mid(sc, x2_i, y2_i, n2_i):
         xs2, ys2, s2_max = _refit_splines(x2_i, y2_i, n2_i)
         cor = search_fn(
             gm, xs2, ys2, s2_max + 3.0, sc.start_x, sc.start_y,
-            sc.start_heading, cfg)
+            sc.start_heading, config)
         return xs2, ys2, cor
 
-    xs2, ys2, cor = jax.vmap(mid)(scs, x2, y2, n2)
-    ok_corridor = cor.ok
-    ok = ok & ok_corridor
+    return jax.vmap(mid)(scs, x2, y2, n2)
 
-    # --- 5. Post-smoothing QP, batched (postSmooth, :526-580) ---
+
+def stage_post_smooth(cor, config: PlannerConfig, settings: QPSettings):
+    """Post-smoothing QP, batched (postSmooth, :526-580)."""
     l_post, post_ok, conv_post = post_smooth_batched(
         cor.layers_s, cor.lower, cor.upper, cor.vehicle_l, cor.n_layers,
-        cfg, settings)
-    ok_post = post_ok & conv_post
-    ok = ok & ok_post
+        config, settings)
+    return l_post, post_ok & conv_post
 
-    # --- 6-9. Re-projection, init state, trim, resample, collision bounds,
-    # per scenario ---
+
+def stage_geometry(gm: maps.GridMap, scs: Scenario, xs2, ys2, cor, l_post,
+                   config: PlannerConfig):
+    """Re-projection, init state, trim, resample, collision bounds, per
+    scenario (processReferencePath, path_optimizer.cpp:105-122)."""
+    cfg = config
+    N = cfg.n_knots
+
     def late(sc, xs2_i, ys2_i, cor_i, l_post_i):
         ref_dir = splines.heading(xs2_i, ys2_i, cor_i.layers_s)
         x3, y3 = normal_offset(splines.evaluate(xs2_i, cor_i.layers_s),
@@ -211,12 +221,17 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
         ref = ref.replace(n_valid=n_valid)
         return ref, cb, init_offset, init_heading_error, ok_init, n_valid
 
-    ref, cb, init_offset, init_heading_error, ok_init, n_valid = jax.vmap(
-        late)(scs, xs2, ys2, cor, l_post)
-    ok = ok & ok_init
+    return jax.vmap(late)(scs, xs2, ys2, cor, l_post)
 
-    # --- 10. Two-pass SQP path QP, batched (optimizePath,
-    # path_optimizer.cpp:124-161) ---
+
+def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
+                  settings: QPSettings):
+    """Two-pass SQP path QP, batched (optimizePath,
+    path_optimizer.cpp:124-161)."""
+    cfg = config
+    N = cfg.n_knots
+    ref, cb, init_offset, init_heading_error, ok_init, n_valid = geo_out
+
     ref_heading_last = jnp.take_along_axis(
         ref.heading, (n_valid - 1)[:, None], axis=-1)[:, 0]
 
@@ -243,10 +258,13 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
                             sol1.v[:, :, 0], sol1.v[:, :, 1], sol1.v[:, :, 2])
     sol2 = solve_path_qp_batched(qp2, v0=sol1.v, y0_knot=sol1.y_knot,
                                  y0_end=sol1.y_end, settings=settings)
-    ok_qp = sol1.converged & sol2.converged
-    ok = ok & ok_qp
+    return sol1, sol2
 
-    # --- 11. Output path (getOptimizedPath, base_solver.cpp:263-288) ---
+
+def stage_finalize(ref, sol2, n_valid, config: PlannerConfig):
+    """Output path (getOptimizedPath, base_solver.cpp:263-288)."""
+    N = config.n_knots
+
     def finalize(ref_i, v, nv):
         l = v[:, 0]
         e = v[:, 1]
@@ -260,16 +278,104 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
                                  jnp.cumsum(seg)])
         return x_out, y_out, heading_out, l, e, k, dk, s_out
 
-    x_out, y_out, heading_out, l, e, k, dk, s_out = jax.vmap(finalize)(
-        ref, sol2.v, n_valid)
+    return jax.vmap(finalize)(ref, sol2.v, n_valid)
 
+
+# --------------------------------- drivers ----------------------------------
+
+def solve_batch(gm: maps.GridMap, scenarios: Scenario, config: PlannerConfig,
+                settings: QPSettings = QPSettings()) -> PathResult:
+    """Solve a batch of scenarios sharing one grid map (the
+    scenario-data-parallel axis; SURVEY.md §2.8). Every Scenario leaf has a
+    leading batch dimension."""
+    # TPU matmuls default to bf16 operands; the ADMM iterations need full f32
+    # products or the 2e-3 termination tolerance is unreachable.
+    with jax.default_matmul_precision("highest"):
+        return _solve_batch_impl(gm, scenarios, config, settings)
+
+
+def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
+                      settings: QPSettings) -> PathResult:
+    prep_out = stage_prep(scs, config)
+    ok_input = prep_out[0]
+    smooth_out = stage_smooth(gm, prep_out, config, settings)
+    ok_smooth = smooth_out[4]
+    xs2, ys2, cor = stage_corridor(gm, scs, smooth_out, config)
+    ok_corridor = cor.ok
+    l_post, ok_post = stage_post_smooth(cor, config, settings)
+    geo_out = stage_geometry(gm, scs, xs2, ys2, cor, l_post, config)
+    ref, cb, init_offset, init_heading_error, ok_init, n_valid = geo_out
+    sol1, sol2 = stage_path_qp(scs, geo_out, config, settings)
+    ok_qp = sol1.converged & sol2.converged
+    x_out, y_out, heading_out, l, e, k, dk, s_out = stage_finalize(
+        ref, sol2, n_valid, config)
+
+    ok = (ok_input & ok_smooth & ok_corridor & ok_post & ok_init & ok_qp)
     return PathResult(
         x=x_out, y=y_out, heading=heading_out, l=l, d_heading=e, k=k, d_k=dk,
         s=s_out, n_valid=n_valid, ok=ok, blocked=cb.blocked,
         qp_iters=sol1.iters + sol2.iters,
         ok_input=ok_input, ok_smooth=ok_smooth, ok_corridor=ok_corridor,
         ok_post=ok_post, ok_init=ok_init, ok_qp=ok_qp,
-        horizon_truncated=ref.truncated)
+        horizon_truncated=ref.truncated, bounds=cb)
+
+
+def solve_batch_profiled(gm: maps.GridMap, scenarios: Scenario,
+                         config: PlannerConfig,
+                         settings: QPSettings = QPSettings(),
+                         recorder=None) -> PathResult:
+    """Stage-by-stage execution with host-side per-stage timing — the
+    reference's TimeRecorder instrumentation (path_optimizer.cpp:41-69,
+    base_solver.cpp:57-93). ``recorder`` is a ``profiling.TimeRecorder``; each
+    stage is its own jit and the recorder blocks on its outputs, so stage
+    times are real device times (plus dispatch). Slower end-to-end than
+    ``solve_batch`` (no cross-stage fusion) — for observability, not the hot
+    path."""
+    from tpu_pathopt import profiling
+    rec = recorder if recorder is not None else profiling.TimeRecorder(
+        "pipeline")
+    static = {"static_argnames": ("config", "settings")}
+
+    with jax.default_matmul_precision("highest"):
+        rec.record("prep")
+        prep_out = jax.jit(stage_prep, static_argnames=("config",))(
+            scenarios, config)
+        rec.record("smooth", block_on=prep_out)
+        smooth_out = jax.jit(stage_smooth, **static)(
+            gm, prep_out, config, settings)
+        rec.record("corridor", block_on=smooth_out)
+        xs2, ys2, cor = jax.jit(stage_corridor, static_argnames=("config",))(
+            gm, scenarios, smooth_out, config)
+        rec.record("post_smooth", block_on=cor)
+        l_post, ok_post = jax.jit(stage_post_smooth, **static)(
+            cor, config, settings)
+        rec.record("bounds", block_on=l_post)
+        geo_out = jax.jit(stage_geometry, static_argnames=("config",))(
+            gm, scenarios, xs2, ys2, cor, l_post, config)
+        rec.record("path_qp", block_on=geo_out)
+        sol1, sol2 = jax.jit(stage_path_qp, **static)(
+            scenarios, geo_out, config, settings)
+        rec.record("finalize", block_on=(sol1, sol2))
+        ref, cb, init_offset, init_heading_error, ok_init, n_valid = geo_out
+        outs = jax.jit(stage_finalize, static_argnames=("config",))(
+            ref, sol2, n_valid, config)
+        rec.record("done", block_on=outs)
+
+    x_out, y_out, heading_out, l, e, k, dk, s_out = outs
+    ok_input = prep_out[0]
+    ok = (ok_input & smooth_out[4] & cor.ok & ok_post & ok_init
+          & sol1.converged & sol2.converged)
+    result = PathResult(
+        x=x_out, y=y_out, heading=heading_out, l=l, d_heading=e, k=k, d_k=dk,
+        s=s_out, n_valid=n_valid, ok=ok, blocked=cb.blocked,
+        qp_iters=sol1.iters + sol2.iters,
+        ok_input=ok_input, ok_smooth=smooth_out[4], ok_corridor=cor.ok,
+        ok_post=ok_post, ok_init=ok_init,
+        ok_qp=sol1.converged & sol2.converged,
+        horizon_truncated=ref.truncated, bounds=cb)
+    if recorder is None:
+        rec.print_time()
+    return result
 
 
 def solve(gm: maps.GridMap, sc: Scenario, config: PlannerConfig,

@@ -18,6 +18,8 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+from tpu_pathopt.jaxutil import with_vma_of
+
 
 def _tri_solve(L, B, lower=True, trans=False):
     """Solve L X = B (or L^T X = B) for small lower-triangular L. Shapes:
@@ -52,7 +54,8 @@ def factor(diag, off):
 
     off_padded = jnp.concatenate([jnp.zeros((1, nb, nb), diag.dtype), off])
     (_, _), (C, W) = jax.lax.scan(
-        step, (jnp.eye(nb, dtype=diag.dtype), jnp.asarray(True)),
+        step, (with_vma_of(jnp.eye(nb, dtype=diag.dtype), diag),
+               jnp.asarray(True)),
         (diag, off_padded))
     return C, W[1:]
 
@@ -68,7 +71,8 @@ def solve(C, W, b):
         y = _tri_solve(C_i, (b_i - W_i @ y_prev)[:, None])[:, 0]
         return y, y
 
-    _, ys = jax.lax.scan(fwd, jnp.zeros(nb, C.dtype), (C, W_padded, b))
+    _, ys = jax.lax.scan(fwd, with_vma_of(jnp.zeros(nb, C.dtype), b),
+                         (C, W_padded, b))
 
     W_next = jnp.concatenate([W, jnp.zeros((1, nb, nb), C.dtype)])
 
@@ -77,7 +81,7 @@ def solve(C, W, b):
         x = _tri_solve(C_i, (y_i - W_ip1.T @ x_next)[:, None], trans=True)[:, 0]
         return x, x
 
-    _, xs = jax.lax.scan(bwd, jnp.zeros(nb, C.dtype),
+    _, xs = jax.lax.scan(bwd, with_vma_of(jnp.zeros(nb, C.dtype), b),
                          (C, W_next, ys), reverse=True)
     return xs
 
@@ -119,7 +123,7 @@ def solve_batched(Cinv, W, b):
                        bi - jnp.einsum("bij,bj->bi", Wi, y_prev))
         return y, y
 
-    _, ys = jax.lax.scan(fwd, jnp.zeros((B, nb), Cinv.dtype),
+    _, ys = jax.lax.scan(fwd, with_vma_of(jnp.zeros((B, nb), Cinv.dtype), b),
                          (Ci_t, Wp_t, b_t))
 
     def bwd(x_next, inp):
@@ -128,7 +132,7 @@ def solve_batched(Cinv, W, b):
                        yi - jnp.einsum("bji,bj->bi", Wip1, x_next))
         return x, x
 
-    _, xs = jax.lax.scan(bwd, jnp.zeros((B, nb), Cinv.dtype),
+    _, xs = jax.lax.scan(bwd, with_vma_of(jnp.zeros((B, nb), Cinv.dtype), b),
                          (Ci_t, Wn_t, ys), reverse=True)
     return jnp.swapaxes(xs, 0, 1)
 

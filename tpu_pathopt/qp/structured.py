@@ -36,6 +36,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from tpu_pathopt.jaxutil import with_vma_of
 from tpu_pathopt.qp.admm import INFTY, QPSettings
 from tpu_pathopt.qp import btridiag
 
@@ -166,7 +167,8 @@ def _solve_impl(qp: BlockBandedQP, v0, y0, settings) -> StructuredSolution:
     pmul = jax.vmap(p_mul)
 
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_fused = st.fused_rounds and on_tpu and (B <= 128 or B % 128 == 0)
+    # Any batch size takes the fused path (lane padding inside fused_rounds).
+    use_fused = st.fused_rounds and on_tpu
     lane = lambda a: jnp.moveaxis(a, 0, -1)
     unlane = lambda a: jnp.moveaxis(a, -1, 0)
     if use_fused:
@@ -187,11 +189,14 @@ def _solve_impl(qp: BlockBandedQP, v0, y0, settings) -> StructuredSolution:
         Cinv, W = btridiag.inv_factors(C, W)
         return rho, Cinv, W
 
-    rho_bar0 = jnp.full((B,), st.rho_bar, dt)
+    # Carry inits derive their varying-axes type from the (possibly
+    # shard-varying) problem data so check_vma-checked shard_map accepts the
+    # while/fori carries (jaxutil.with_vma_of).
+    rho_bar0 = with_vma_of(jnp.full((B,), st.rho_bar, dt), qp)
     rho0, Ci0, W0 = factor(rho_bar0)
 
-    v = jnp.zeros((B, N, nb), dt) if v0 is None else v0
-    y = jnp.zeros((B, N, r), dt) if y0 is None else y0
+    v = with_vma_of(jnp.zeros((B, N, nb), dt), qp) if v0 is None else v0
+    y = with_vma_of(jnp.zeros((B, N, r), dt), qp) if y0 is None else y0
     z = amul(qp, v)
 
     amax = lambda a: jnp.max(jnp.abs(a.reshape(a.shape[0], -1)), axis=-1)
@@ -262,9 +267,11 @@ def _solve_impl(qp: BlockBandedQP, v0, y0, settings) -> StructuredSolution:
         it, conv = carry[7], carry[8]
         return jnp.any((~conv) & (it < st.max_iter))
 
-    init = (v, z, y, rho0, Ci0, W0, rho_bar0, jnp.zeros((B,), jnp.int32),
-            jnp.zeros((B,), bool), jnp.full((B,), jnp.inf, dt),
-            jnp.full((B,), jnp.inf, dt))
+    init = (v, z, y, rho0, Ci0, W0, rho_bar0,
+            with_vma_of(jnp.zeros((B,), jnp.int32), qp),
+            with_vma_of(jnp.zeros((B,), bool), qp),
+            with_vma_of(jnp.full((B,), jnp.inf, dt), qp),
+            with_vma_of(jnp.full((B,), jnp.inf, dt), qp))
     out = jax.lax.while_loop(cond, admm_round, init)
     v, z, y = out[:3]
     it, conv, pri, dua = out[7], out[8], out[9], out[10]

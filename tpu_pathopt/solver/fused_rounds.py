@@ -45,6 +45,28 @@ _MAX_LANES = 128
 NB = 6  # block size (variables per knot)
 
 
+def _pad_lanes(a, b_padded: int):
+    """Edge-replicate the lane (last) dim of ``a`` up to ``b_padded`` lanes.
+
+    Replicating the last real lane (instead of zero-fill) keeps every padded
+    lane on the same numerical path as a real problem — no sqrt(0) / division
+    hazards inside the factor kernel. Padded lanes are sliced off on return.
+    """
+    b = a.shape[-1]
+    if b == b_padded:
+        return a
+    reps = jnp.broadcast_to(a[..., -1:], a.shape[:-1] + (b_padded - b,))
+    return jnp.concatenate([a, reps], axis=-1)
+
+
+def _padded_lane_count(b: int) -> int:
+    """Lane count the kernels run at: b itself when one chunk suffices
+    (hardware pads to 128 anyway), else the next multiple of _MAX_LANES."""
+    if b <= _MAX_LANES:
+        return b
+    return -(-b // _MAX_LANES) * _MAX_LANES
+
+
 def _factor_kernel(diag_ref, offp_ref, ci_ref, w_ref, *, n: int):
     """Block-Cholesky factorization + explicit block inversion, fused.
 
@@ -143,12 +165,13 @@ def fused_factor(diag, offp, interpret: bool = False):
 
     if B <= _MAX_LANES:
         return run_chunk(diag, offp)
-    assert B % _MAX_LANES == 0
+    Bp = _padded_lane_count(B)
+    diag, offp = _pad_lanes(diag, Bp), _pad_lanes(offp, Bp)
     outs = [run_chunk(diag[..., sl], offp[..., sl])
             for sl in (slice(c * _MAX_LANES, (c + 1) * _MAX_LANES)
-                       for c in range(B // _MAX_LANES))]
-    return (jnp.concatenate([o[0] for o in outs], axis=-1),
-            jnp.concatenate([o[1] for o in outs], axis=-1))
+                       for c in range(Bp // _MAX_LANES))]
+    return (jnp.concatenate([o[0] for o in outs], axis=-1)[..., :B],
+            jnp.concatenate([o[1] for o in outs], axis=-1)[..., :B])
 
 
 def _round_kernel(geom_ref, Ci_ref, Wp_ref, tp_ref, lbk_ref, ubk_ref, lbe_ref,
@@ -340,13 +363,14 @@ def fused_structured_round(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y,
 
     if B <= _MAX_LANES:
         return run_chunk((Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y))
-    assert B % _MAX_LANES == 0
+    Bp = _padded_lane_count(B)
+    padded = tuple(_pad_lanes(a, Bp)
+                   for a in (Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y))
     outs = []
-    for c in range(B // _MAX_LANES):
+    for c in range(Bp // _MAX_LANES):
         sl = slice(c * _MAX_LANES, (c + 1) * _MAX_LANES)
-        outs.append(run_chunk(tuple(
-            a[..., sl] for a in (Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y))))
-    return tuple(jnp.concatenate([o[i] for o in outs], axis=-1)
+        outs.append(run_chunk(tuple(a[..., sl] for a in padded)))
+    return tuple(jnp.concatenate([o[i] for o in outs], axis=-1)[..., :B]
                  for i in range(3))
 
 
@@ -393,16 +417,16 @@ def fused_admm_round(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
         return run_chunk((geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
                           v, zk, ze, yk, ye))
 
-    # Chunk the lane dimension so one chunk's working set fits VMEM.
-    assert B % _MAX_LANES == 0, (
-        f"batch {B} must be a multiple of {_MAX_LANES} (or <= {_MAX_LANES})")
-    nch = B // _MAX_LANES
+    # Chunk the lane dimension so one chunk's working set fits VMEM; a batch
+    # that is not a lane multiple is edge-replicated up to one (the padded
+    # lanes iterate real numerics and are sliced off).
+    Bp = _padded_lane_count(B)
+    padded = tuple(_pad_lanes(a, Bp)
+                   for a in (Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
+                             v, zk, ze, yk, ye))
     outs = []
-    for c in range(nch):
+    for c in range(Bp // _MAX_LANES):
         sl = slice(c * _MAX_LANES, (c + 1) * _MAX_LANES)
-        args = (geom,) + tuple(
-            a[..., sl] for a in (Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
-                                 v, zk, ze, yk, ye))
-        outs.append(run_chunk(args))
-    return tuple(jnp.concatenate([o[i] for o in outs], axis=-1)
+        outs.append(run_chunk((geom,) + tuple(a[..., sl] for a in padded)))
+    return tuple(jnp.concatenate([o[i] for o in outs], axis=-1)[..., :B]
                  for i in range(5))

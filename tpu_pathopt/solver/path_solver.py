@@ -22,6 +22,7 @@ import flax.struct
 import jax
 import jax.numpy as jnp
 
+from tpu_pathopt.jaxutil import with_vma_of
 from tpu_pathopt.qp.admm import QPSettings
 from tpu_pathopt.qp import btridiag
 from tpu_pathopt.solver import assembly
@@ -184,7 +185,9 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
     # (orders of magnitude slower than the XLA rounds); kernel parity on CPU
     # is covered by dedicated interpret-mode tests.
     on_tpu = jax.default_backend() in ("tpu", "axon")
-    use_fused = st.fused_rounds and on_tpu and (B <= 128 or B % 128 == 0)
+    # Any batch size takes the fused path: the kernels pad the lane dimension
+    # to the next 128 multiple internally (fused_rounds._pad_lanes).
+    use_fused = st.fused_rounds and on_tpu
     if use_fused:
         from tpu_pathopt.solver import fused_rounds
         interpret = False
@@ -214,12 +217,17 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
         Cinv, W = btridiag.inv_factors(C, W)
         return rk, re, Cinv, W
 
-    rho_bar0 = jnp.full((B,), st.rho_bar, dt)
+    # Carry inits inherit the vma type of the problem data (check_vma support
+    # under shard_map; jaxutil.with_vma_of).
+    rho_bar0 = with_vma_of(jnp.full((B,), st.rho_bar, dt), qp)
     rk0, re0, Ci0, W0 = factor(rho_bar0)
 
-    v = jnp.zeros((B, N, assembly.NB), dt) if v0 is None else v0
-    yk = jnp.zeros((B, N, 6), dt) if y0_knot is None else y0_knot
-    ye = jnp.zeros((B, 2), dt) if y0_end is None else y0_end
+    v = (with_vma_of(jnp.zeros((B, N, assembly.NB), dt), qp)
+         if v0 is None else v0)
+    yk = (with_vma_of(jnp.zeros((B, N, 6), dt), qp)
+          if y0_knot is None else y0_knot)
+    ye = (with_vma_of(jnp.zeros((B, 2), dt), qp)
+          if y0_end is None else y0_end)
     zk, ze = a_mul(qp, v)
 
     amax = lambda a: jnp.max(jnp.abs(a.reshape(a.shape[0], -1)), axis=-1)
@@ -309,8 +317,10 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
         return jnp.any((~conv) & (it < st.max_iter))
 
     init = (v, zk, ze, yk, ye, rk0, re0, Ci0, W0, rho_bar0,
-            jnp.zeros((B,), jnp.int32), jnp.zeros((B,), bool),
-            jnp.full((B,), jnp.inf, dt), jnp.full((B,), jnp.inf, dt))
+            with_vma_of(jnp.zeros((B,), jnp.int32), qp),
+            with_vma_of(jnp.zeros((B,), bool), qp),
+            with_vma_of(jnp.full((B,), jnp.inf, dt), qp),
+            with_vma_of(jnp.full((B,), jnp.inf, dt), qp))
     out = jax.lax.while_loop(cond, admm_round, init)
     v, zk, ze, yk, ye = out[:5]
     it, conv, pri, dua = out[10], out[11], out[12], out[13]
