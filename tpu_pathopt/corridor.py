@@ -95,7 +95,12 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
     inside = maps.is_inside(gm, node_x, node_y)
     dis = jnp.where(inside, maps.obstacle_distance(gm, node_x, node_y), -1.0)
     threshold = cfg.car_width / 2.0 + 0.2
-    ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9, 1e-9, ref_k)
+    # Signed turn radius 1/k (reference :182 divides raw). The epsilon clamp
+    # must preserve the sign: substituting +1e-9 for a tiny *negative* k flips
+    # ref_r to +1e9 while the (ref_k < 0) branch still fires, marking every
+    # node infeasible (caught by the float64 gridmap parity oracle).
+    ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9,
+                            jnp.where(ref_k < 0, -1e-9, 1e-9), ref_k)
     radius_bad = ((ref_k[:, None] < 0) & (lat[None, :] < ref_r[:, None])) | \
                  ((ref_k[:, None] > 0) & (lat[None, :] > ref_r[:, None]))
     # The reference samples offsets in [-range, range] only (:176-179); the
@@ -286,7 +291,9 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
                                    ref_h[:, None], lat[None, :])   # (L, K)
     inside = maps.is_inside(gm, node_x, node_y)
     dis = jnp.where(inside, maps.obstacle_distance(gm, node_x, node_y), -1.0)
-    ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9, 1e-9, ref_k)
+    # Sign-preserving epsilon clamp (see the DP variant above).
+    ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9,
+                            jnp.where(ref_k < 0, -1e-9, 1e-9), ref_k)
     in_range = jnp.where(ref_r[:, None] > 0,
                          lat[None, :] <= jnp.minimum(lat_range, ref_r[:, None]),
                          lat[None, :] >= jnp.maximum(-lat_range,
