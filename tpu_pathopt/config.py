@@ -86,9 +86,10 @@ class PlannerConfig:
     # Curvature-adaptive resampling (reference_path_impl.cpp:321-335, default
     # ON in the reference): spacing ramps from output_spacing down to half of
     # it as |k| rises through [0.08, 0.2]. Implemented as a fixed-length scan
-    # (static shapes); off by default for throughput — the sequential
-    # per-knot spline evals cost ~N scan steps per scenario.
-    enable_dynamic_segmentation: bool = False
+    # (static shapes). Default ON, matching the reference — the benched
+    # config IS the reference-default config (>= 1000 solves/s holds with
+    # the scan on).
+    enable_dynamic_segmentation: bool = True
     rough_constraints_far_away: bool = False
     precise_planning_length: float = 30.0
 

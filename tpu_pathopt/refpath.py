@@ -15,6 +15,7 @@ import jax.numpy as jnp
 
 from tpu_pathopt import splines
 from tpu_pathopt.config import PlannerConfig
+from tpu_pathopt.jaxutil import with_vma_of
 
 
 @flax.struct.dataclass
@@ -66,8 +67,8 @@ def build_reference_from_spline(xs: splines.CubicSpline, ys: splines.CubicSpline
     reference's while-loop produces a data-dependent knot count; here the same
     recurrence runs as a fixed-length ``lax.scan`` over the static N knots
     with the tail clamped to ``max_s`` and masked via ``n_valid``, so shapes
-    stay static. Off by default: the per-step sequential spline evals cost
-    throughput and the fixed-spacing grid already resolves the demo scenarios.
+    stay static. On by default (the reference default); the scan is unrolled
+    so the sequential per-knot spline evals amortize the loop overhead.
     """
     ds = config.output_spacing
     max_s = jnp.asarray(max_s, jnp.float32)
@@ -81,8 +82,10 @@ def build_reference_from_spline(xs: splines.CubicSpline, ys: splines.CubicSpline
                              0.0, 1.0)
             return s_cur + ds - share * (ds - ds_small), s_cur
 
-        _, s = jax.lax.scan(step, jnp.asarray(0.0, jnp.float32), None,
-                            length=n_knots)
+        # Carry init derives its varying-axes type from the spline data so
+        # the scan traces under shard_map(check_vma=True) (jaxutil.with_vma_of).
+        s0 = with_vma_of(jnp.asarray(0.0, jnp.float32), (xs.y, ys.y))
+        _, s = jax.lax.scan(step, s0, None, length=n_knots, unroll=8)
         n_valid = jnp.sum((s <= max_s).astype(jnp.int32))
         # All N knots under max_s => the horizon stopped short of the target
         # (worst case: every spacing halved, N knots cover N*ds/2 meters).
