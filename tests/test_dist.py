@@ -66,6 +66,47 @@ def test_graft_dryrun_multichip():
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_streamed_solve_accumulates_fleet_stats():
+    gm, scs = _inputs(16)
+    mesh = dist.make_mesh(jax.devices()[:8])
+    consumed = []
+    total, dt, sps = dist.solve_streamed(
+        gm, (scs for _ in range(3)), TINY, mesh, ST,
+        consume=lambda r: consumed.append(np.asarray(r.ok)))
+    assert int(total.n_total) == 48
+    assert len(consumed) == 3
+    res_local = pipeline.solve_batch(gm, scs, TINY, ST)
+    assert int(total.n_ok) == 3 * int(jnp.sum(res_local.ok.astype(jnp.int32)))
+    assert sps > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_measure_scaling_reports_efficiency():
+    gm, scs16 = _inputs(16)
+
+    def make_batch(b):
+        return jax.tree_util.tree_map(lambda a: a[:b], scs16)
+
+    sc = dist.measure_scaling(gm, make_batch, TINY, ST,
+                              devices=jax.devices()[:8], per_shard=1, reps=1)
+    assert sc["n_devices"] == 8
+    assert sc["solves_per_s_1dev"] > 0 and sc["solves_per_s_full"] > 0
+    assert sc["scaling_efficiency"] > 0
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_make_global_batch_single_process_roundtrip():
+    gm, scs = _inputs(16)
+    mesh = dist.make_mesh(jax.devices()[:8])
+    gm_g, scs_g = dist.make_global_batch(gm, scs, mesh)
+    res_sh, stats = dist.solve_sharded(gm_g, scs_g, TINY, mesh, ST)
+    assert int(stats.n_total) == 16
+    res_local = pipeline.solve_batch(gm, scs, TINY, ST)
+    np.testing.assert_allclose(np.asarray(res_sh.l), np.asarray(res_local.l),
+                               atol=5e-3)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
 def test_sharded_solve_pads_non_divisible_batch():
     """Batch 13 on an 8-device mesh: padded to 16 internally, result sliced
     back, stats count only the 13 real scenarios."""
