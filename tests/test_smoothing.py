@@ -3,8 +3,11 @@ import numpy as np
 
 from tpu_pathopt import maps
 from tpu_pathopt.config import PlannerConfig
-from tpu_pathopt.qp import admm, oracle
+from tpu_pathopt.qp import admm, oracle, structured
 from tpu_pathopt.smoothing import segment_raw_reference
+from tpu_pathopt.smoothing.tension import (build_tension_qp,
+                                           build_tension_qp_blocks,
+                                           tension_smooth)
 from tpu_pathopt.smoothing.tension2 import build_tension2_qp, tension2_smooth
 
 
@@ -66,6 +69,80 @@ def test_tension2_smooths_and_stays_close():
         h = np.arctan2(np.diff(yy), np.diff(xx))
         return np.abs(np.diff(h)).sum()
     assert wiggle(xo, yo) < wiggle(x[:nv], y[:nv])
+
+
+def _open_map(res=0.4, size=100, half_width=15.0):
+    mask = np.zeros((size, size), bool)
+    yy = (0.5 * size - 0.5 - np.arange(size)) * res
+    mask[:, np.abs(yy) >= half_width] = True
+    return maps.build_map(jnp.asarray(mask), resolution=res)
+
+
+def test_tension_blocks_densify_to_dense_builder():
+    """The 3-point block-banded TENSION assembly must be exactly the dense
+    [x(M), y(M), d(M)] problem under the interleaved-variable permutation."""
+    x, y, ang, k, s, nv = _wavy_input(M=33, n_valid=29)
+    gm = _open_map()
+    cfg = PlannerConfig()
+    args = (jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            jnp.asarray(ang, jnp.float32), jnp.asarray(nv))
+    Pd, qd, Ad, ld, ud = build_tension_qp(gm, *args, cfg)
+    qp = build_tension_qp_blocks(gm, *args, cfg)
+    Pb, qb, Ab, lb, ub = structured.to_dense(qp)
+
+    M = len(x)
+    # Interleaved index of dense var (channel c of point i) = 3 i + c.
+    perm = np.concatenate([3 * np.arange(M) + c for c in range(3)])
+    Pb, Ab = np.asarray(Pb), np.asarray(Ab)
+    np.testing.assert_allclose(Pb[np.ix_(perm, perm)], np.asarray(Pd),
+                               atol=1e-5)
+    # Constraint rows are also per-point interleaved.
+    np.testing.assert_allclose(Ab[np.ix_(perm, perm)], np.asarray(Ad),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(lb)[perm], np.asarray(ld), atol=0)
+    np.testing.assert_allclose(np.asarray(ub)[perm], np.asarray(ud), atol=0)
+
+
+def test_tension_structured_matches_dense_oracle():
+    """Structured TENSION solve vs the f64 dense oracle. With the default
+    cartesian_deviation_weight = 0 the optimum is weakly determined (any d
+    pattern that keeps x, y affine is cost-free), so parity is asserted the
+    meaningful way: the structured solution is feasible under the dense f64
+    constraints and its cost matches a high-accuracy optimum."""
+    x, y, ang, k, s, nv = _wavy_input()
+    gm = _open_map()
+    cfg = PlannerConfig()
+    args = (jnp.asarray(x, jnp.float32), jnp.asarray(y, jnp.float32),
+            jnp.asarray(ang, jnp.float32), jnp.asarray(nv))
+    xo, yo, so, n2, conv = tension_smooth(gm, *args, cfg)
+    assert bool(conv)
+
+    P, q, A, l, u = [np.asarray(a, np.float64)
+                     for a in build_tension_qp(gm, *args, cfg)]
+    ref = oracle.solve(P, q, A, l, u, eps_abs=1e-8, eps_rel=1e-8,
+                       max_iter=200000)
+    assert ref.status == "solved"
+
+    # Reconstruct the dense variable vector [x, y, d] from the solution;
+    # d follows from the (equality) tie rows.
+    M = len(x)
+    xs = np.asarray(xo, np.float64)
+    ys = np.asarray(yo, np.float64)
+    theta = np.asarray(ang, np.float64) + np.pi / 2
+    d = np.where(np.abs(np.cos(theta)) > 0.5,
+                 (xs - x) / np.cos(theta), (ys - y) / np.sin(theta))
+    v = np.concatenate([xs, ys, d])
+    Ax = A @ v
+    # OSQP-style scaled feasibility: eps_abs + eps_rel * |Ax|_inf (the x/y
+    # tie rows carry ~30 m coordinates, so the solver's own 2e-3 relative
+    # tolerance dominates).
+    feas_tol = 2e-3 + 2e-3 * float(np.abs(Ax).max())
+    assert float(np.maximum(l - Ax, Ax - u).max()) < feas_tol
+
+    def cost(w):
+        return 0.5 * w @ P @ w + q @ w
+    gap = cost(v) - cost(ref.x)
+    assert gap < max(1e-3, 5e-3 * abs(cost(ref.x)))
 
 
 def test_segment_raw_reference_samples_at_1m():
