@@ -109,3 +109,46 @@ def test_fit_is_vmappable():
     q = jnp.asarray(np.linspace(0, 5, 7))
     vals = jax.vmap(lambda sp: splines.evaluate(sp, q))(sps)
     assert vals.shape == (4, 7)
+
+
+def test_newton_12_iters_reaches_20_iter_fixed_point():
+    """config.newton_iters = 12 vs the reference's hardcoded 20
+    (tools.cpp:107): on strongly curved splines, both directional and
+    closest-point Newton must land on the same f32 fixed point — the extra
+    8 passes are pure latency. Demonstrates the claim argued in
+    config.py:80-85 instead of leaving it as a comment."""
+    # Curvy path: radius ~5 m S-bends (|k| ~ 0.2, near the planner's limit).
+    t = np.linspace(0, 30, 40)
+    x = t
+    y = 4.0 * np.sin(t / 4.0) + 1.5 * np.sin(t / 2.0)
+    seg = np.hypot(np.diff(x), np.diff(y))
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    xs = splines.fit_natural(jnp.asarray(s, jnp.float32),
+                             jnp.asarray(x, jnp.float32))
+    ys = splines.fit_natural(jnp.asarray(s, jnp.float32),
+                             jnp.asarray(y, jnp.float32))
+    max_s = float(s[-1])
+
+    rng = np.random.default_rng(7)
+    hint = jnp.asarray(rng.uniform(0, max_s, size=64), jnp.float32)
+    # Off-curve query points around the hints (lateral offsets up to 2.5 m).
+    hx = np.asarray(splines.evaluate(xs, hint))
+    hy = np.asarray(splines.evaluate(ys, hint))
+    ang = np.asarray(splines.heading(xs, ys, hint)) + np.pi / 2
+    off = rng.uniform(-2.5, 2.5, size=64).astype(np.float32)
+    tx = jnp.asarray(hx + off * np.cos(ang))
+    ty = jnp.asarray(hy + off * np.sin(ang))
+    angj = jnp.asarray(ang, jnp.float32)
+    max_sj = jnp.full((64,), max_s, jnp.float32)
+
+    s12 = splines.project_newton(xs, ys, tx, ty, max_sj, hint, iters=12)
+    s20 = splines.project_newton(xs, ys, tx, ty, max_sj, hint, iters=20)
+    np.testing.assert_allclose(np.asarray(s12), np.asarray(s20),
+                               atol=1e-4, rtol=0)
+
+    d12 = splines.project_directional_newton(xs, ys, tx, ty, angj, max_sj,
+                                             hint, iters=12)
+    d20 = splines.project_directional_newton(xs, ys, tx, ty, angj, max_sj,
+                                             hint, iters=20)
+    np.testing.assert_allclose(np.asarray(d12), np.asarray(d20),
+                               atol=1e-4, rtol=0)

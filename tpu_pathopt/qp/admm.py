@@ -253,8 +253,9 @@ def _solve_qp_batched_impl(P, q, A, l, u, x0, y0, settings) -> QPSolution:
                       converged=conv, pri_res=pri, dua_res=dua)
 
 
-def _solve_qp_impl(P, q, A, l, u, x0, y0, settings) -> QPSolution:
-    st = settings
+def _setup_scalar(P, q, A, l, u, x0, y0, st):
+    """Scale the problem and build the initial carry (shared by the solver
+    and the iterate tracer so both run the identical code path)."""
     dt = P.dtype
     nv = P.shape[0]
     nc = A.shape[0]
@@ -273,7 +274,17 @@ def _solve_qp_impl(P, q, A, l, u, x0, y0, settings) -> QPSolution:
     y = jnp.zeros(nc, dt) if y0 is None else y0 * E / c
     z = As @ x
 
-    n_rounds = -(-st.max_iter // st.check_every)
+    scaled = (Ps, qs, As, D, E, c, ls, us, eq, loose)
+    init = (x, z, y, rho0, L0, rho_bar0, jnp.asarray(0, jnp.int32),
+            jnp.asarray(False), jnp.asarray(jnp.inf, dt),
+            jnp.asarray(jnp.inf, dt))
+    return scaled, init
+
+
+def _make_scalar_round(P, q, A, scaled, st):
+    """One check_every-iteration ADMM round + residual check + adaptive rho
+    (the while_loop body of :func:`solve_qp`)."""
+    Ps, qs, As, D, E, c, ls, us, eq, loose = scaled
 
     def admm_round(carry):
         x, z, y, rho, L, rho_bar, it, conv, pri, dua = carry
@@ -335,14 +346,47 @@ def _solve_qp_impl(P, q, A, l, u, x0, y0, settings) -> QPSolution:
         return (x, z, y, rho, L, rho_bar, it, conv_new,
                 jnp.where(conv, pri, pri_res), jnp.where(conv, dua, dua_res))
 
+    return admm_round
+
+
+def _solve_qp_impl(P, q, A, l, u, x0, y0, settings) -> QPSolution:
+    st = settings
+    scaled, init = _setup_scalar(P, q, A, l, u, x0, y0, st)
+    D, E, c = scaled[3], scaled[4], scaled[5]
+    admm_round = _make_scalar_round(P, q, A, scaled, st)
+
     def cond(carry):
         *_, it, conv, _p, _d = carry
         return (~conv) & (it < st.max_iter)
 
-    init = (x, z, y, rho0, L0, rho_bar0, jnp.asarray(0, jnp.int32),
-            jnp.asarray(False), jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt))
     x, z, y, rho, L, rho_bar, it, conv, pri, dua = jax.lax.while_loop(
         cond, admm_round, init)
 
     return QPSolution(x=D * x, y=(E * y) / c, z=z / E, iters=it,
                       converged=conv, pri_res=pri, dua_res=dua)
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_rounds"))
+def trace_rounds(P, q, A, l, u, settings: QPSettings = QPSettings(),
+                 n_rounds: int = 8, x0=None, y0=None):
+    """Run exactly ``n_rounds`` ADMM rounds of :func:`solve_qp` (the SAME
+    round body — shared via ``_make_scalar_round``) and return the unscaled
+    per-round trajectory: dict of (x, z, y, rho_bar, pri_res, dua_res), each
+    with a leading ``n_rounds`` axis. Iterate-by-iterate parity diagnostics
+    against the float64 oracle (``qp.oracle.solve(trace=True)``); set
+    eps_abs = eps_rel = 0 in ``settings`` to disable convergence freezing so
+    the raw trajectory is observed."""
+    with jax.default_matmul_precision("highest"):
+        st = settings
+        scaled, init = _setup_scalar(P, q, A, l, u, x0, y0, st)
+        D, E, c = scaled[3], scaled[4], scaled[5]
+        admm_round = _make_scalar_round(P, q, A, scaled, st)
+
+        def body(carry, _):
+            carry = admm_round(carry)
+            x, z, y, rho, L, rho_bar, it, conv, pri, dua = carry
+            return carry, dict(x=D * x, z=z / E, y=(E * y) / c,
+                               rho_bar=rho_bar, pri_res=pri, dua_res=dua)
+
+        _, tr = jax.lax.scan(body, init, None, length=n_rounds)
+        return tr

@@ -35,6 +35,10 @@ class OracleResult:
     status: str
     pri_res: float
     dua_res: float
+    # Per-check-point trajectory (solve(trace=True)): dict of stacked arrays
+    # (x, z, y, rho_bar, pri_res, dua_res), one row per check_every iterations
+    # — for iterate-by-iterate parity against qp.admm.trace_rounds.
+    trace: dict | None = None
 
 
 def ruiz_equilibration(P, q, A, iters=10):
@@ -77,7 +81,7 @@ def ruiz_equilibration(P, q, A, iters=10):
 
 def solve(P, q, A, l, u, eps_abs=2e-3, eps_rel=2e-3, max_iter=20000,
           sigma=1e-6, alpha=1.6, rho_bar=0.1, scaling_iters=10,
-          adaptive_rho=True, check_every=25, x0=None, y0=None):
+          adaptive_rho=True, check_every=25, x0=None, y0=None, trace=False):
     """Solve min 0.5 x^T P x + q^T x  s.t.  l <= A x <= u, OSQP-style."""
     P = np.asarray(P, np.float64)
     q = np.asarray(q, np.float64)
@@ -121,6 +125,8 @@ def solve(P, q, A, l, u, eps_abs=2e-3, eps_rel=2e-3, max_iter=20000,
     status = "max_iter"
     iters = max_iter
     pri_res = dua_res = np.inf
+    tr = {"x": [], "z": [], "y": [], "rho_bar": [], "pri_res": [],
+          "dua_res": []} if trace else None
     for k in range(1, max_iter + 1):
         rhs = sigma * x - qs + As.T @ (rho * z - y)
         xt = np.linalg.solve(L.T, np.linalg.solve(L, rhs))
@@ -161,6 +167,17 @@ def solve(P, q, A, l, u, eps_abs=2e-3, eps_rel=2e-3, max_iter=20000,
                     rho_bar = float(np.clip(rho_bar * ratio, 1e-6, 1e6))
                     rho = make_rho(rho_bar)
                     L = factor(rho)
+            if trace:
+                # Same observation point as qp.admm.trace_rounds: end of a
+                # check_every round, after the adaptive-rho update.
+                tr["x"].append(D * x)
+                tr["z"].append(z / E)
+                tr["y"].append((E * y) / c)
+                tr["rho_bar"].append(rho_bar)
+                tr["pri_res"].append(pri_res)
+                tr["dua_res"].append(dua_res)
 
     return OracleResult(x=D * x, y=(E * y) / c, z=z / E, iters=iters,
-                        status=status, pri_res=pri_res, dua_res=dua_res)
+                        status=status, pri_res=pri_res, dua_res=dua_res,
+                        trace=({k: np.asarray(v) for k, v in tr.items()}
+                               if trace else None))
