@@ -59,10 +59,17 @@ def _pad_lanes(a, b_padded: int):
     return jnp.concatenate([a, reps], axis=-1)
 
 
-def _padded_lane_count(b: int) -> int:
-    """Lane count the kernels run at: b itself when one chunk suffices
-    (hardware pads to 128 anyway), else the next multiple of _MAX_LANES."""
-    if b <= _MAX_LANES:
+def _padded_lane_count(b: int, interpret: bool = False) -> int:
+    """Lane count the kernels run at: the next multiple of _MAX_LANES.
+
+    Always a FULL 128-lane chunk on hardware, even for small b: the physical
+    tiles are 128 lanes wide regardless, and feeding the kernel a partial
+    lane dim makes Mosaic materialize retiling copies that push the scoped
+    VMEM allocation over the 16M limit (observed: N=128 at B=64 or B=1
+    requests 16.67M and OOMs, while the identical B=128 chunk fits).
+    Interpret mode (CPU tests) pads only up to the chunking requirement —
+    there full-lane padding would be 128x real work instead of free lanes."""
+    if interpret and b <= _MAX_LANES:
         return b
     return -(-b // _MAX_LANES) * _MAX_LANES
 
@@ -163,9 +170,9 @@ def fused_factor(diag, offp, interpret: bool = False):
             interpret=interpret,
         )(dg, op)
 
-    if B <= _MAX_LANES:
+    Bp = _padded_lane_count(B, interpret)
+    if Bp == B and B <= _MAX_LANES:
         return run_chunk(diag, offp)
-    Bp = _padded_lane_count(B)
     diag, offp = _pad_lanes(diag, Bp), _pad_lanes(offp, Bp)
     outs = [run_chunk(diag[..., sl], offp[..., sl])
             for sl in (slice(c * _MAX_LANES, (c + 1) * _MAX_LANES)
@@ -361,9 +368,9 @@ def fused_structured_round(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y,
             interpret=interpret,
         )(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y)
 
-    if B <= _MAX_LANES:
+    Bp = _padded_lane_count(B, interpret)
+    if Bp == B and B <= _MAX_LANES:
         return run_chunk((Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y))
-    Bp = _padded_lane_count(B)
     padded = tuple(_pad_lanes(a, Bp)
                    for a in (Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y))
     outs = []
@@ -413,14 +420,14 @@ def fused_admm_round(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
             interpret=interpret,
         )(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es, v, zk, ze, yk, ye)
 
-    if B <= _MAX_LANES:
+    Bp = _padded_lane_count(B, interpret)
+    if Bp == B and B <= _MAX_LANES:
         return run_chunk((geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
                           v, zk, ze, yk, ye))
 
-    # Chunk the lane dimension so one chunk's working set fits VMEM; a batch
-    # that is not a lane multiple is edge-replicated up to one (the padded
+    # Chunk the lane dimension into FULL _MAX_LANES chunks (see
+    # _padded_lane_count); a partial batch is edge-replicated up (the padded
     # lanes iterate real numerics and are sliced off).
-    Bp = _padded_lane_count(B)
     padded = tuple(_pad_lanes(a, Bp)
                    for a in (Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
                              v, zk, ze, yk, ye))
