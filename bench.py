@@ -1,56 +1,216 @@
 """Benchmark: batched end-to-end path solves per second per chip.
 
-Runs the full pipeline (B-spline fit -> smoothing QP -> DP corridor ->
-post-smooth QP -> bounds -> two-pass path QP) over a batch of randomized
-scenarios on the default backend (TPU under the driver) and prints ONE JSON
-line: {"metric", "value", "unit", "vs_baseline"} with vs_baseline relative to
-the 1000 solves/s/chip north-star target (BASELINE.md).
+Adversarial by construction (not a single easy corridor): one 60 m x 60 m map
+with four lanes —
+
+- easy:    a wide straight corridor,
+- tight:   a corridor pinched to 3.0 m by staggered juts (2.0 m car),
+- slalom:  four posts forcing an S-weave (high curvature),
+- blocked: a dead-end wall mid-lane (candidate-path semantics,
+           reference README.md:10),
+
+and a 256-scenario batch mixing them 64/64/64/64 — so 25% of the batch is
+blocked and the batched while_loop pays the slowest element's iterations.
+The headline number is the MIXED batch throughput (config = the library
+default, i.e. the reference-default config incl. dynamic segmentation).
+Also reported: p50/p99 batch seconds across repetitions, ok/blocked
+fractions, an easy-only batch for comparison, and a mixed batch on the
+reference's real gridmap.png fixture when mounted.
+
+Prints ONE JSON line {"metric", "value", "unit", "vs_baseline", ...};
+vs_baseline is relative to the 1000 solves/s/chip north star (BASELINE.md).
 """
 
 import json
+import os
 import time
 
 import numpy as np
 
+GRIDMAP = "/root/reference/gridmap.png"
+R_RAW = 16   # padded raw reference points per scenario
 
-def build_inputs(batch):
+
+def _scenarios(route_pts, starts, targets):
+    """Build a Scenario batch from per-scenario raw polylines/poses."""
     import jax
     import jax.numpy as jnp
-    from tpu_pathopt import maps, pipeline
+    from tpu_pathopt import pipeline
+
+    def make(rx, ry, n, sx, sy, sh, tx, ty, th):
+        return pipeline.Scenario(
+            raw_x=rx, raw_y=ry, n_raw=n,
+            start_x=sx, start_y=sy, start_heading=sh,
+            start_k=jnp.zeros_like(sx),
+            target_x=tx, target_y=ty, target_heading=th)
+
+    raw_x = np.stack([p[0] for p in route_pts]).astype(np.float32)
+    raw_y = np.stack([p[1] for p in route_pts]).astype(np.float32)
+    n_raw = np.asarray([p[2] for p in route_pts], np.int32)
+    s = np.asarray(starts, np.float32)
+    t = np.asarray(targets, np.float32)
+    return jax.vmap(make)(
+        jnp.asarray(raw_x), jnp.asarray(raw_y), jnp.asarray(n_raw),
+        jnp.asarray(s[:, 0]), jnp.asarray(s[:, 1]), jnp.asarray(s[:, 2]),
+        jnp.asarray(t[:, 0]), jnp.asarray(t[:, 1]), jnp.asarray(t[:, 2]))
+
+
+def _lane_route(y_lane, n_sc, rng, x0=-25.0, x1=25.0):
+    """n_sc randomized scenarios along a straight lane at y = y_lane."""
+    pts, starts, targets = [], [], []
+    for _ in range(n_sc):
+        off = rng.uniform(-1.0, 1.0)
+        head = rng.uniform(-0.12, 0.12)
+        xs = np.linspace(x0, x1, 8)
+        ys = np.full(8, y_lane)
+        rx = np.concatenate([xs, np.full(R_RAW - 8, xs[-1])])
+        ry = np.concatenate([ys, np.full(R_RAW - 8, ys[-1])])
+        pts.append((rx, ry, 8))
+        starts.append((x0, y_lane + off, head))
+        targets.append((x1, y_lane, 0.0))
+    return pts, starts, targets
+
+
+def build_adversarial(batch=256):
+    """The 4-lane map + a mixed batch (easy/tight/slalom/blocked)."""
+    import jax.numpy as jnp
+    from tpu_pathopt import maps
+
+    res, size = 0.2, 300
+    mask = np.zeros((size, size), bool)
+    xx = (0.5 * size - 0.5 - np.arange(size)) * res   # rows
+    yy = (0.5 * size - 0.5 - np.arange(size)) * res   # cols
+
+    def block(x_lo, x_hi, y_lo, y_hi):
+        mask[np.ix_((xx >= x_lo) & (xx <= x_hi),
+                    (yy >= y_lo) & (yy <= y_hi))] = True
+
+    mask[:, np.abs(yy) >= 24.0] = True                # outer walls
+    # lane separators
+    for y_sep in (10.0, 0.0, -10.0):
+        block(-30.0, 30.0, y_sep - 0.4, y_sep + 0.4)
+    # tight lane (y in [0.8, 9.6]): staggered pinch juts -> 3.0 m gaps
+    # (wide enough to clear the reference's 0.5 m clearance-march cutoff for
+    # a 2.0 m car, narrow enough to engage the soft collision bounds)
+    block(-10.0, -8.0, 0.8, 2.6)
+    block(-10.0, -8.0, 5.6, 9.6)
+    block(5.0, 7.0, 0.8, 4.0)
+    block(5.0, 7.0, 7.0, 9.6)
+    # slalom lane (y in [-9.6, -0.8]): four posts forcing an S-weave
+    block(-16.0, -14.0, -9.6, -4.6)
+    block(-6.0, -4.0, -5.8, -0.8)
+    block(4.0, 6.0, -9.6, -4.6)
+    block(14.0, 16.0, -5.8, -0.8)
+    # blocked lane (y in [-23.6, -10.4]): dead-end wall across the lane
+    block(10.0, 11.0, -23.6, -10.4)
+
+    gm = maps.build_map(jnp.asarray(mask), resolution=res)
+
+    n = batch // 4
+    rng = np.random.default_rng(0)
+    lanes = [
+        _lane_route(16.0, n, rng),            # easy (wide straight)
+        _lane_route(5.0, n, rng),             # tight (pinched)
+        _lane_route(-5.0, n, rng),            # slalom (high curvature)
+        _lane_route(-17.0, n, rng),           # blocked (dead end)
+    ]
+    pts = sum((l[0] for l in lanes), [])
+    starts = sum((l[1] for l in lanes), [])
+    targets = sum((l[2] for l in lanes), [])
+    return gm, _scenarios(pts, starts, targets), n
+
+
+def build_easy(batch=256):
+    """Round-1 style easy batch (one wide corridor) for comparison."""
+    import jax.numpy as jnp
+    from tpu_pathopt import maps
 
     res, size = 0.2, 300
     mask = np.zeros((size, size), bool)
     yy = (0.5 * size - 0.5 - np.arange(size)) * res
-    xx = (0.5 * size - 0.5 - np.arange(size)) * res
     mask[:, np.abs(yy) >= 24.0] = True
-    mask[np.ix_((xx >= -5) & (xx <= 0), (yy >= -1) & (yy <= 24))] = True
-    mask[np.ix_((xx >= 8) & (xx <= 12), (yy <= 1) & (yy >= -24))] = True
     gm = maps.build_map(jnp.asarray(mask), resolution=res)
+    rng = np.random.default_rng(1)
+    pts, starts, targets = _lane_route(0.0, batch, rng)
+    return gm, _scenarios(pts, starts, targets)
 
-    R = 16
-    raw_x = np.linspace(-25, 25, 8)
-    raw_y = np.zeros(8)
-    raw_x = np.concatenate([raw_x, np.full(R - 8, raw_x[-1])])
-    raw_y = np.concatenate([raw_y, np.full(R - 8, raw_y[-1])])
-    rng = np.random.default_rng(0)
-    off = rng.uniform(-1.5, 1.5, size=batch).astype(np.float32)
-    head = rng.uniform(-0.15, 0.15, size=batch).astype(np.float32)
 
-    def make(o, h):
-        return pipeline.Scenario(
-            raw_x=jnp.asarray(raw_x, jnp.float32),
-            raw_y=jnp.asarray(raw_y, jnp.float32),
-            n_raw=jnp.asarray(8, jnp.int32),
-            start_x=jnp.asarray(-25.0, jnp.float32),
-            start_y=jnp.asarray(0.0, jnp.float32) + o,
-            start_heading=jnp.asarray(0.0, jnp.float32) + h,
-            start_k=jnp.asarray(0.0, jnp.float32),
-            target_x=jnp.asarray(25.0, jnp.float32),
-            target_y=jnp.asarray(0.0, jnp.float32),
-            target_heading=jnp.asarray(0.0, jnp.float32))
+def build_gridmap(batch=64):
+    """Mixed batch on the reference's real demo fixture (demo.cpp:94-113)."""
+    import jax.numpy as jnp
+    from PIL import Image
+    from tpu_pathopt import maps
 
-    scs = jax.vmap(make)(jnp.asarray(off), jnp.asarray(head))
-    return gm, scs
+    img = np.array(Image.open(GRIDMAP).convert("L"))
+    gm = maps.build_map(jnp.asarray(img < 128), resolution=0.2)
+    routes = {
+        "straight": ([(-60, 56.5), (-54, 56.5), (-48, 56.5), (-42, 56.5),
+                      (-36, 56.5), (-30, 56.5)],
+                     (-60.0, 56.5, 0.0), (-30.0, 56.5, 0.0)),
+        "scurve": ([(-52, 56.5), (-44, 56.0), (-37, 52.0), (-32, 45.0),
+                    (-29.5, 38.0)],
+                   (-52.0, 56.5, 0.0), (-29.5, 38.0, -1.2)),
+        "blocked": ([(-52, 56.5), (-44, 56.5), (-36, 56.5), (-28, 56.5),
+                     (-20, 56.5), (-12, 56.5)],
+                    (-52.0, 56.5, 0.0), (-12.0, 56.5, 0.0)),
+    }
+    rng = np.random.default_rng(2)
+    pts, starts, targets = [], [], []
+    names = list(routes)
+    for i in range(batch):
+        rpts, start, target = routes[names[i % len(names)]]
+        rx = np.asarray([p[0] for p in rpts], np.float64)
+        ry = np.asarray([p[1] for p in rpts], np.float64)
+        k = len(rx)
+        rx = np.concatenate([rx, np.full(R_RAW - k, rx[-1])])
+        ry = np.concatenate([ry, np.full(R_RAW - k, ry[-1])])
+        pts.append((rx, ry, k))
+        off = rng.uniform(-0.5, 0.5)
+        starts.append((start[0], start[1] + off, start[2]))
+        targets.append(target)
+    return gm, _scenarios(pts, starts, targets)
+
+
+def _time_batch(fn, gm, scs, reps):
+    import numpy as np
+    out = fn(gm, scs)
+    np.asarray(out.x)            # sync (block_until_ready unreliable on axon)
+    times = []
+    for _ in range(reps):
+        t0 = time.time()
+        out = fn(gm, scs)
+        np.asarray(out.x)
+        times.append(time.time() - t0)
+    times = np.asarray(times)
+    return out, times
+
+
+def stream_64k():
+    """64k-scenario streamed sharded run (BASELINE.md scaling config): the
+    mixed adversarial batch streamed 256 times through ``dist.solve_streamed``
+    on a mesh over all local devices. Invoked via ``python bench.py
+    --stream64k``; prints its own JSON line."""
+    import jax
+    from tpu_pathopt import dist
+    from tpu_pathopt.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    mesh = dist.make_mesh()
+    batch = 256
+    gm, scs, _ = build_adversarial(batch)
+    # Warm up / compile outside the timed stream.
+    res, _ = dist.solve_sharded(gm, scs, cfg, mesh)
+    np.asarray(res.x)
+    total, dt, sps = dist.solve_streamed(
+        gm, (scs for _ in range(65536 // batch)), cfg, mesh)
+    print(json.dumps({
+        "metric": "streamed 64k-scenario sharded run",
+        "value": round(sps, 2), "unit": "solves/s",
+        "vs_baseline": round(sps / 1000.0, 4),
+        "n_total": int(total.n_total), "n_ok": int(total.n_ok),
+        "n_blocked": int(total.n_blocked), "seconds": round(dt, 2),
+        "n_devices": len(jax.devices()),
+    }))
 
 
 def main():
@@ -58,38 +218,53 @@ def main():
     from tpu_pathopt import pipeline
     from tpu_pathopt.config import PlannerConfig
 
-    batch = 256
-    cfg = PlannerConfig()
-    gm, scs = build_inputs(batch)
-
+    batch, reps = 256, 20
+    cfg = PlannerConfig()      # the reference-default config, dyn-seg ON
     fn = lambda g, s: pipeline.solve_batch_jit(g, s, cfg)
-    out = fn(gm, scs)            # compile + first run
-    # NOTE: block_until_ready does not reliably synchronize on the remote
-    # (axon) backend — force a device-to-host transfer instead.
-    np.asarray(out.x)
 
-    n_rep = 5
-    t0 = time.time()
-    for _ in range(n_rep):
-        out = fn(gm, scs)
-        np.asarray(out.x)
-    dt = (time.time() - t0) / n_rep
+    gm, scs, n_lane = build_adversarial(batch)
+    out, times = _time_batch(fn, gm, scs, reps)
+    ok = np.asarray(out.ok)
+    blocked = np.asarray(out.blocked)
+    p50, p99 = float(np.percentile(times, 50)), float(np.percentile(times, 99))
+    solves_per_s = batch / float(np.mean(times))
 
-    solves_per_s = batch / dt
-    n_ok = int(np.asarray(out.ok).sum())
+    gm_e, scs_e = build_easy(batch)
+    out_e, times_e = _time_batch(fn, gm_e, scs_e, max(reps // 4, 3))
+    easy_sps = batch / float(np.mean(times_e))
+
+    grid_sps = grid_ok = None
+    if os.path.exists(GRIDMAP):
+        gb = 128
+        gm_g, scs_g = build_gridmap(gb)
+        out_g, times_g = _time_batch(fn, gm_g, scs_g, max(reps // 4, 3))
+        grid_sps = gb / float(np.mean(times_g))
+        grid_ok = float(np.asarray(out_g.ok).mean())
+
     result = {
-        "metric": "batched end-to-end path solves/s/chip (horizon N=%d)"
-                  % cfg.n_knots,
+        "metric": "adversarial mixed-batch path solves/s/chip "
+                  "(horizon N=%d, 25%% blocked)" % cfg.n_knots,
         "value": round(solves_per_s, 2),
         "unit": "solves/s",
         "vs_baseline": round(solves_per_s / 1000.0, 4),
         "batch": batch,
-        "ok_fraction": n_ok / batch,
-        "seconds_per_batch": round(dt, 4),
+        "mix": "easy/tight/slalom/blocked = %d each" % n_lane,
+        "ok_fraction": float(ok.mean()),
+        "blocked_fraction": float(blocked.mean()),
+        "p50_batch_s": round(p50, 4),
+        "p99_batch_s": round(p99, 4),
+        "easy_solves_per_s": round(easy_sps, 2),
+        "gridmap_solves_per_s": (round(grid_sps, 2)
+                                 if grid_sps is not None else None),
+        "gridmap_ok_fraction": grid_ok,
         "device": str(jax.devices()[0]),
     }
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+    if "--stream64k" in sys.argv:
+        stream_64k()
+    else:
+        main()
