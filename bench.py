@@ -214,32 +214,48 @@ def stream_64k():
 
 
 def main():
+    import sys
     import jax
     from tpu_pathopt import pipeline
     from tpu_pathopt.config import PlannerConfig
 
-    batch, reps = 256, 20
+    t_start = time.time()
+    # The extra sections (easy-batch comparison; gridmap fixture, which is a
+    # different map shape => a full recompile) are skipped once the elapsed
+    # wall clock passes the budget, so a slow tunnel/compile still yields the
+    # headline JSON line instead of an overall timeout.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    batch = 256
+    reps = int(os.environ.get("BENCH_REPS", "20"))
     cfg = PlannerConfig()      # the reference-default config, dyn-seg ON
     fn = lambda g, s: pipeline.solve_batch_jit(g, s, cfg)
 
+    print("bench: compiling + timing adversarial batch...", file=sys.stderr,
+          flush=True)
     gm, scs, n_lane = build_adversarial(batch)
     out, times = _time_batch(fn, gm, scs, reps)
     ok = np.asarray(out.ok)
     blocked = np.asarray(out.blocked)
     p50, p99 = float(np.percentile(times, 50)), float(np.percentile(times, 99))
     solves_per_s = batch / float(np.mean(times))
+    print(f"bench: adversarial done at t={time.time() - t_start:.0f}s",
+          file=sys.stderr, flush=True)
 
-    gm_e, scs_e = build_easy(batch)
-    out_e, times_e = _time_batch(fn, gm_e, scs_e, max(reps // 4, 3))
-    easy_sps = batch / float(np.mean(times_e))
-
-    grid_sps = grid_ok = None
-    if os.path.exists(GRIDMAP):
-        gb = 128
-        gm_g, scs_g = build_gridmap(gb)
-        out_g, times_g = _time_batch(fn, gm_g, scs_g, max(reps // 4, 3))
-        grid_sps = gb / float(np.mean(times_g))
-        grid_ok = float(np.asarray(out_g.ok).mean())
+    easy_sps = grid_sps = grid_ok = None
+    try:
+        if time.time() - t_start < budget:
+            # Same shapes as the adversarial batch -> no recompile.
+            gm_e, scs_e = build_easy(batch)
+            out_e, times_e = _time_batch(fn, gm_e, scs_e, max(reps // 4, 3))
+            easy_sps = round(batch / float(np.mean(times_e)), 2)
+        if os.path.exists(GRIDMAP) and time.time() - t_start < budget:
+            gb = 128
+            gm_g, scs_g = build_gridmap(gb)
+            out_g, times_g = _time_batch(fn, gm_g, scs_g, max(reps // 4, 3))
+            grid_sps = round(gb / float(np.mean(times_g)), 2)
+            grid_ok = float(np.asarray(out_g.ok).mean())
+    except Exception as e:   # extras are best-effort; keep the headline
+        print(f"bench: extras failed: {e!r}", file=sys.stderr, flush=True)
 
     result = {
         "metric": "adversarial mixed-batch path solves/s/chip "
@@ -253,9 +269,8 @@ def main():
         "blocked_fraction": float(blocked.mean()),
         "p50_batch_s": round(p50, 4),
         "p99_batch_s": round(p99, 4),
-        "easy_solves_per_s": round(easy_sps, 2),
-        "gridmap_solves_per_s": (round(grid_sps, 2)
-                                 if grid_sps is not None else None),
+        "easy_solves_per_s": easy_sps,
+        "gridmap_solves_per_s": grid_sps,
         "gridmap_ok_fraction": grid_ok,
         "device": str(jax.devices()[0]),
     }

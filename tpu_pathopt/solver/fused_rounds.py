@@ -44,6 +44,12 @@ _MAX_LANES = 128
 
 NB = 6  # block size (variables per knot)
 
+# The default Mosaic scoped-VMEM limit is 16 MiB; the fully VMEM-resident
+# round kernel's working set at N=128, B=128 is ~16.4 MiB once the 6-sublane
+# arrays are padded to 8 sublanes (observed OOM by 363 KiB on the gridmap
+# batch). v5e has 128 MiB VMEM per core — grant the kernels real headroom.
+_COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
+
 
 def _pad_lanes(a, b_padded: int):
     """Edge-replicate the lane (last) dim of ``a`` up to ``b_padded`` lanes.
@@ -167,6 +173,7 @@ def fused_factor(diag, offp, interpret: bool = False):
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2),
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(dg, op)
 
@@ -365,6 +372,7 @@ def fused_structured_round(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y,
                 pltpu.VMEM(v.shape, v.dtype),   # sweep buffer
                 pltpu.VMEM(v.shape, v.dtype),   # rhs buffer
             ],
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y)
 
@@ -417,6 +425,7 @@ def fused_admm_round(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
                 pltpu.VMEM((n, 6, v.shape[-1]), v.dtype),   # sweep buffer
                 pltpu.VMEM((n, 6, v.shape[-1]), v.dtype),   # rhs buffer
             ],
+            compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
         )(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es, v, zk, ze, yk, ye)
 
