@@ -29,6 +29,22 @@ import numpy as np
 
 GRIDMAP = "/root/reference/gridmap.png"
 R_RAW = 16   # padded raw reference points per scenario
+# All bench maps are zero-padded to one canonical array shape so the three
+# sections (adversarial 300x300, easy 300x300, gridmap.png 710x701) share a
+# single compiled solve program (maps.GridMap carries the valid extent as
+# dynamic scalars). 712x704 covers the reference fixture with 8-multiples.
+PAD_SHAPE = (712, 704)
+
+
+def enable_compilation_cache():
+    """Persistent XLA compilation cache (survives processes/rounds): the
+    pipeline compile is ~10 min on the TPU tunnel, ~0.2 s from cache."""
+    import jax
+    d = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+    os.makedirs(d, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", d)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 
 def _scenarios(route_pts, starts, targets):
@@ -104,7 +120,8 @@ def build_adversarial(batch=256):
     # blocked lane (y in [-23.6, -10.4]): dead-end wall across the lane
     block(10.0, 11.0, -23.6, -10.4)
 
-    gm = maps.build_map(jnp.asarray(mask), resolution=res)
+    gm = maps.build_map(jnp.asarray(mask), resolution=res,
+                        pad_shape=PAD_SHAPE)
 
     n = batch // 4
     rng = np.random.default_rng(0)
@@ -129,7 +146,8 @@ def build_easy(batch=256):
     mask = np.zeros((size, size), bool)
     yy = (0.5 * size - 0.5 - np.arange(size)) * res
     mask[:, np.abs(yy) >= 24.0] = True
-    gm = maps.build_map(jnp.asarray(mask), resolution=res)
+    gm = maps.build_map(jnp.asarray(mask), resolution=res,
+                        pad_shape=PAD_SHAPE)
     rng = np.random.default_rng(1)
     pts, starts, targets = _lane_route(0.0, batch, rng)
     return gm, _scenarios(pts, starts, targets)
@@ -142,7 +160,8 @@ def build_gridmap(batch=64):
     from tpu_pathopt import maps
 
     img = np.array(Image.open(GRIDMAP).convert("L"))
-    gm = maps.build_map(jnp.asarray(img < 128), resolution=0.2)
+    gm = maps.build_map(jnp.asarray(img < 128), resolution=0.2,
+                        pad_shape=PAD_SHAPE)
     routes = {
         "straight": ([(-60, 56.5), (-54, 56.5), (-48, 56.5), (-42, 56.5),
                       (-36, 56.5), (-30, 56.5)],
@@ -185,11 +204,11 @@ def _time_batch(fn, gm, scs, reps):
     return out, times
 
 
-def stream_64k():
+def stream_64k(n_total=65536):
     """64k-scenario streamed sharded run (BASELINE.md scaling config): the
-    mixed adversarial batch streamed 256 times through ``dist.solve_streamed``
-    on a mesh over all local devices. Invoked via ``python bench.py
-    --stream64k``; prints its own JSON line."""
+    mixed adversarial batch streamed through ``dist.solve_streamed`` on a
+    mesh over all local devices. Returns the stats dict (also runs inside
+    ``main``; ``python bench.py --stream64k`` prints it as its own line)."""
     import jax
     from tpu_pathopt import dist
     from tpu_pathopt.config import PlannerConfig
@@ -202,15 +221,34 @@ def stream_64k():
     res, _ = dist.solve_sharded(gm, scs, cfg, mesh)
     np.asarray(res.x)
     total, dt, sps = dist.solve_streamed(
-        gm, (scs for _ in range(65536 // batch)), cfg, mesh)
-    print(json.dumps({
+        gm, (scs for _ in range(n_total // batch)), cfg, mesh)
+    return {
         "metric": "streamed 64k-scenario sharded run",
         "value": round(sps, 2), "unit": "solves/s",
         "vs_baseline": round(sps / 1000.0, 4),
         "n_total": int(total.n_total), "n_ok": int(total.n_ok),
         "n_blocked": int(total.n_blocked), "seconds": round(dt, 2),
         "n_devices": len(jax.devices()),
-    }))
+    }
+
+
+def sweep(batches=(128, 256, 512, 1024), reps=8):
+    """Batch-size sweep on the adversarial mix (``python bench.py --sweep``):
+    prints solves/s for each B — the lane-chunked fused kernels (128 lanes per
+    chunk) make the throughput-vs-B curve non-obvious."""
+    from tpu_pathopt import pipeline
+    from tpu_pathopt.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    fn = lambda g, s: pipeline.solve_batch_jit(g, s, cfg)
+    out = {}
+    for b in batches:
+        gm, scs, _ = build_adversarial(b)
+        _, times = _time_batch(fn, gm, scs, reps)
+        out[b] = round(b / float(np.mean(times)), 2)
+        print(json.dumps({"batch": b, "solves_per_s": out[b],
+                          "p50_batch_s": round(float(np.percentile(times, 50)), 4)}))
+    return out
 
 
 def main():
@@ -220,12 +258,17 @@ def main():
     from tpu_pathopt.config import PlannerConfig
 
     t_start = time.time()
-    # The extra sections (easy-batch comparison; gridmap fixture, which is a
-    # different map shape => a full recompile) are skipped once the elapsed
-    # wall clock passes the budget, so a slow tunnel/compile still yields the
-    # headline JSON line instead of an overall timeout.
-    budget = float(os.environ.get("BENCH_BUDGET_S", "420"))
-    batch = 256
+    # Sections run in priority order (headline -> gridmap fixture -> easy ->
+    # streamed 64k), each in its own try/except (an exception in one
+    # best-effort extra must not suppress the others) and each gated on the
+    # remaining wall-clock budget. A provisional headline JSON line is printed
+    # as soon as the headline number exists, so even a hard timeout later
+    # leaves a parseable record; the final line (last JSON line on stdout)
+    # supersedes it. All maps share PAD_SHAPE => one compile serves every
+    # section, and the persistent compilation cache makes repeat runs start
+    # in seconds instead of ~10 min.
+    budget = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+    batch = int(os.environ.get("BENCH_BATCH", "256"))
     reps = int(os.environ.get("BENCH_REPS", "20"))
     cfg = PlannerConfig()      # the reference-default config, dyn-seg ON
     fn = lambda g, s: pipeline.solve_batch_jit(g, s, cfg)
@@ -241,22 +284,6 @@ def main():
     print(f"bench: adversarial done at t={time.time() - t_start:.0f}s",
           file=sys.stderr, flush=True)
 
-    easy_sps = grid_sps = grid_ok = None
-    try:
-        if time.time() - t_start < budget:
-            # Same shapes as the adversarial batch -> no recompile.
-            gm_e, scs_e = build_easy(batch)
-            out_e, times_e = _time_batch(fn, gm_e, scs_e, max(reps // 4, 3))
-            easy_sps = round(batch / float(np.mean(times_e)), 2)
-        if os.path.exists(GRIDMAP) and time.time() - t_start < budget:
-            gb = 128
-            gm_g, scs_g = build_gridmap(gb)
-            out_g, times_g = _time_batch(fn, gm_g, scs_g, max(reps // 4, 3))
-            grid_sps = round(gb / float(np.mean(times_g)), 2)
-            grid_ok = float(np.asarray(out_g.ok).mean())
-    except Exception as e:   # extras are best-effort; keep the headline
-        print(f"bench: extras failed: {e!r}", file=sys.stderr, flush=True)
-
     result = {
         "metric": "adversarial mixed-batch path solves/s/chip "
                   "(horizon N=%d, 25%% blocked)" % cfg.n_knots,
@@ -269,17 +296,69 @@ def main():
         "blocked_fraction": float(blocked.mean()),
         "p50_batch_s": round(p50, 4),
         "p99_batch_s": round(p99, 4),
-        "easy_solves_per_s": easy_sps,
-        "gridmap_solves_per_s": grid_sps,
-        "gridmap_ok_fraction": grid_ok,
+        "easy_solves_per_s": None,
+        "gridmap_solves_per_s": None,
+        "gridmap_ok_fraction": None,
+        "stream64k_solves_per_s": None,
         "device": str(jax.devices()[0]),
     }
+    print(json.dumps(result), flush=True)   # provisional headline
+
+    def remaining():
+        return budget - (time.time() - t_start)
+
+    try:
+        if os.path.exists(GRIDMAP) and remaining() > 30:
+            # Same batch + padded map shape as adversarial -> no recompile.
+            gm_g, scs_g = build_gridmap(batch)
+            out_g, times_g = _time_batch(fn, gm_g, scs_g, max(reps // 4, 3))
+            result["gridmap_solves_per_s"] = round(
+                batch / float(np.mean(times_g)), 2)
+            result["gridmap_ok_fraction"] = float(
+                np.asarray(out_g.ok).mean())
+            result["gridmap_blocked_fraction"] = float(
+                np.asarray(out_g.blocked).mean())
+            print(f"bench: gridmap done at t={time.time() - t_start:.0f}s",
+                  file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: gridmap section failed: {e!r}", file=sys.stderr,
+              flush=True)
+
+    try:
+        if remaining() > 30:
+            gm_e, scs_e = build_easy(batch)
+            out_e, times_e = _time_batch(fn, gm_e, scs_e, max(reps // 4, 3))
+            result["easy_solves_per_s"] = round(
+                batch / float(np.mean(times_e)), 2)
+            print(f"bench: easy done at t={time.time() - t_start:.0f}s",
+                  file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: easy section failed: {e!r}", file=sys.stderr,
+              flush=True)
+
+    try:
+        # The sharded-stream program is a second compile (shard_map); gate on
+        # a bigger margin when the cache is cold.
+        if remaining() > max(90.0, 65536.0 / max(solves_per_s, 1.0) + 30):
+            s = stream_64k()
+            result["stream64k_solves_per_s"] = s["value"]
+            result["stream64k_seconds"] = s["seconds"]
+            result["stream64k_n_ok"] = s["n_ok"]
+            print(f"bench: stream64k done at t={time.time() - t_start:.0f}s",
+                  file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: stream64k section failed: {e!r}", file=sys.stderr,
+              flush=True)
+
     print(json.dumps(result))
 
 
 if __name__ == "__main__":
     import sys
+    enable_compilation_cache()
     if "--stream64k" in sys.argv:
-        stream_64k()
+        print(json.dumps(stream_64k()))
+    elif "--sweep" in sys.argv:
+        sweep()
     else:
         main()

@@ -48,6 +48,26 @@ def test_outside_map_returns_zero():
     assert not bool(maps.is_inside(gm, 100.0, 0.0))
 
 
+def test_padded_map_matches_unpadded():
+    """A map padded to a canonical array shape (one shared XLA program for
+    all map sizes) must produce bit-identical lookups and inside tests."""
+    rng = np.random.default_rng(5)
+    mask = _random_mask(rng, (61, 83), p=0.05)
+    gm = maps.build_map(jnp.asarray(mask), resolution=0.3)
+    gm_pad = maps.build_map(jnp.asarray(mask), resolution=0.3,
+                            pad_shape=(128, 96))
+    assert gm_pad.esdf.shape == (128, 96)
+    assert int(gm_pad.n_rows) == 61 and int(gm_pad.n_cols) == 83
+    xs = jnp.asarray(rng.uniform(-12, 12, size=(300,)))
+    ys = jnp.asarray(rng.uniform(-15, 15, size=(300,)))
+    np.testing.assert_array_equal(
+        np.asarray(maps.obstacle_distance(gm, xs, ys)),
+        np.asarray(maps.obstacle_distance(gm_pad, xs, ys)))
+    np.testing.assert_array_equal(
+        np.asarray(maps.is_inside(gm, xs, ys)),
+        np.asarray(maps.is_inside(gm_pad, xs, ys)))
+
+
 def test_lookup_is_batched():
     rng = np.random.default_rng(4)
     mask = _random_mask(rng, (30, 30))

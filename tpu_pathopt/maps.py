@@ -35,10 +35,20 @@ class GridMap:
     row ([v(i,j), v(i,j+1), v(i+1,j), v(i+1,j+1)], flattened over (R-1, C-1)),
     so a bilinear lookup costs ONE row-gather instead of four element gathers —
     gathers are the dominant cost of the bound-extraction and corridor stages
-    on TPU (~2x end-to-end on those stages). Built by :func:`pack_quad`."""
+    on TPU (~2x end-to-end on those stages). Built by :func:`pack_quad`.
 
-    esdf: jax.Array                     # (R, C) float, meters to nearest obstacle
-    quad: jax.Array                     # ((R-1)*(C-1), 4) packed stencil rows
+    The *valid* extent is carried as dynamic scalars ``n_rows``/``n_cols``
+    (<= the padded array shape), so maps of different world sizes padded to a
+    common canonical array shape share ONE XLA compilation — the end-to-end
+    solve program is identical for the synthetic bench maps and the
+    reference's 710x701 gridmap.png fixture (see :func:`from_esdf`'s
+    ``pad_shape``). Lookups never read padded cells: the bilinear stencil is
+    clamped to the valid extent and out-of-map queries return 0.0."""
+
+    esdf: jax.Array                     # (Rp, Cp) float, meters to nearest obstacle
+    quad: jax.Array                     # ((Rp-1)*(Cp-1), 4) packed stencil rows
+    n_rows: jax.Array                   # () int32 — valid rows (<= Rp)
+    n_cols: jax.Array                   # () int32 — valid cols (<= Cp)
     resolution: float = flax.struct.field(pytree_node=False, default=0.2)
 
     @property
@@ -47,7 +57,8 @@ class GridMap:
 
     @property
     def half_extent(self):
-        r, c = self.esdf.shape
+        r = self.n_rows.astype(jnp.float32)
+        c = self.n_cols.astype(jnp.float32)
         return 0.5 * r * self.resolution, 0.5 * c * self.resolution
 
 
@@ -109,31 +120,48 @@ def pack_quad(esdf):
                      axis=-1).reshape(-1, 4)
 
 
-def from_esdf(esdf, resolution: float = 0.2) -> GridMap:
-    """Wrap a precomputed ESDF (meters) into a GridMap."""
+def from_esdf(esdf, resolution: float = 0.2, pad_shape=None) -> GridMap:
+    """Wrap a precomputed ESDF (meters) into a GridMap. ``pad_shape=(Rp, Cp)``
+    zero-pads the array (bottom/right) to a canonical shape so maps of
+    different sizes share one compiled solve program; the valid extent stays
+    the source shape."""
     esdf = jnp.asarray(esdf, jnp.float32)
-    return GridMap(esdf=esdf, quad=pack_quad(esdf), resolution=resolution)
+    r, c = esdf.shape
+    if pad_shape is not None:
+        pr, pc = pad_shape
+        if pr < r or pc < c:
+            raise ValueError(f"pad_shape {pad_shape} smaller than map {(r, c)}")
+        esdf = jnp.pad(esdf, ((0, pr - r), (0, pc - c)))
+    return GridMap(esdf=esdf, quad=pack_quad(esdf),
+                   n_rows=jnp.asarray(r, jnp.int32),
+                   n_cols=jnp.asarray(c, jnp.int32),
+                   resolution=resolution)
 
 
-def build_map(obstacle_mask, resolution: float = 0.2, chunk: int = 64) -> GridMap:
+def build_map(obstacle_mask, resolution: float = 0.2, chunk: int = 64,
+              pad_shape=None) -> GridMap:
     """Build a GridMap (ESDF in meters) from a boolean obstacle mask
     (True = occupied). Mirrors demo.cpp:109-113 where the pixel distance is
     scaled by the map resolution."""
     esdf = euclidean_distance_transform(obstacle_mask, chunk=chunk) * resolution
-    return from_esdf(esdf, resolution=resolution)
+    return from_esdf(esdf, resolution=resolution, pad_shape=pad_shape)
 
 
-def grid_map_from_image(img, resolution: float = 0.2, occupied_below: int = 128) -> GridMap:
+def grid_map_from_image(img, resolution: float = 0.2, occupied_below: int = 128,
+                        pad_shape=None) -> GridMap:
     """Build from a uint8 grayscale image (0 = obstacle, 255 = free), like the
     reference demo loads gridmap.png (demo.cpp:98-113)."""
     img = jnp.asarray(img)
-    return build_map(img < occupied_below, resolution=resolution)
+    return build_map(img < occupied_below, resolution=resolution,
+                     pad_shape=pad_shape)
 
 
 def position_to_index(gm: GridMap, x, y):
     """Continuous (row, col) index of world position (x, y) under the grid_map
-    convention: row 0 ↔ max x, col 0 ↔ max y, map centered at origin."""
-    r, c = gm.shape
+    convention: row 0 ↔ max x, col 0 ↔ max y, map centered at origin. Uses the
+    dynamic valid extent, not the padded array shape."""
+    r = gm.n_rows.astype(jnp.float32)
+    c = gm.n_cols.astype(jnp.float32)
     fi = (0.5 * r - 0.5) - x / gm.resolution
     fj = (0.5 * c - 0.5) - y / gm.resolution
     return fi, fj
@@ -151,12 +179,12 @@ def obstacle_distance(gm: GridMap, x, y):
     Uses the packed stencil table (one row-gather per query) — see GridMap.quad.
     """
     fi, fj = position_to_index(gm, x, y)
-    r, c = gm.shape
-    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, r - 2)
-    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, c - 2)
+    _, c_pad = gm.shape                                    # static row stride
+    i0 = jnp.clip(jnp.floor(fi).astype(jnp.int32), 0, gm.n_rows - 2)
+    j0 = jnp.clip(jnp.floor(fj).astype(jnp.int32), 0, gm.n_cols - 2)
     ti = jnp.clip(fi - i0, 0.0, 1.0)[..., None]
     tj = jnp.clip(fj - j0, 0.0, 1.0)[..., None]
-    v = jnp.take(gm.quad, i0 * (c - 1) + j0, axis=0)       # (..., 4)
+    v = jnp.take(gm.quad, i0 * (c_pad - 1) + j0, axis=0)   # (..., 4)
     w = jnp.concatenate([(1 - ti) * (1 - tj), (1 - ti) * tj,
                          ti * (1 - tj), ti * tj], axis=-1)
     interp = jnp.sum(v * w, axis=-1)

@@ -15,7 +15,7 @@ import matplotlib.pyplot as plt  # noqa: E402
 
 
 def _extent(gm):
-    r, c = gm.esdf.shape
+    r, c = int(gm.n_rows), int(gm.n_cols)
     hx = 0.5 * r * gm.resolution
     hy = 0.5 * c * gm.resolution
     # imshow extent in (left, right, bottom, top) for (y, x) display: we plot
@@ -27,7 +27,7 @@ def _extent(gm):
 
 def plot_result(gm, result, scenario=None, path_out="path.png", title=None):
     """Render ESDF + optimized path (+ raw points / start / target)."""
-    esdf = np.asarray(gm.esdf)
+    esdf = np.asarray(gm.esdf)[:int(gm.n_rows), :int(gm.n_cols)]
     r, c = esdf.shape
     hx, hy = _extent(gm)
     fig, ax = plt.subplots(figsize=(9, 9))
