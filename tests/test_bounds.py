@@ -147,3 +147,65 @@ def test_dynamic_segmentation_shrinks_spacing_in_curves():
     nvl = int(ref_l.n_valid)
     np.testing.assert_allclose(np.diff(np.asarray(ref_l.s)[:nvl]), 0.3,
                                atol=1e-3)
+
+
+def test_directional_prescan_fallback_rescues_bad_hints():
+    """PlannerConfig.directional_prescan_fallback: bound extraction fed a
+    degraded hint source (arc-length table offset by +8 m — the stale-hint
+    failure mode the grid pre-scan exists for) must still project onto the
+    path. Pure Newton from the bad hints (the reference mainline's only
+    strategy, reference_path_impl.cpp:192-205) strands on EVERY knot of this
+    hook-shaped path; the fixed getDirectionalProjection pre-scan
+    (splines.project_directional, tools.cpp:128-155 with the :147 min-tracking
+    bug fixed) recovers a true ray crossing on every knot."""
+    cfg_off = PlannerConfig(n_knots=64)
+    cfg_on = PlannerConfig(n_knots=64, directional_prescan_fallback=True)
+    res_m, size = 0.2, 300
+    mask = np.zeros((size, size), bool)
+    yy = (0.5 * size - 0.5 - np.arange(size)) * res_m
+    mask[:, np.abs(yy) >= 25.0] = True
+    gm = maps.build_map(jnp.asarray(mask), resolution=res_m)
+
+    t = np.linspace(0.0, 3.6 * np.pi / 2, 80)
+    x = 8.0 * np.sin(t)
+    y = 8.0 * (1.0 - np.cos(t)) - 8.0
+    seg = np.hypot(np.diff(x), np.diff(y))
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    xs = splines.fit_natural(jnp.asarray(s, jnp.float32),
+                             jnp.asarray(x, jnp.float32))
+    ys = splines.fit_natural(jnp.asarray(s, jnp.float32),
+                             jnp.asarray(y, jnp.float32))
+    ref = build_reference_from_spline(xs, ys, jnp.asarray(float(s[-1]) - 4.0),
+                                      64, cfg_off)
+    ref_bad = ref.replace(s=ref.s + 8.0)
+    nv = int(ref.n_valid)
+
+    cb_off = bounds.update_bounds(gm, xs, ys, ref_bad, cfg_off)
+    cb_on = bounds.update_bounds(gm, xs, ys, ref_bad, cfg_on)
+
+    # Per-knot front-axle projection residuals under each strategy.
+    rh = np.asarray(ref_bad.heading)[:nv]
+    rs = np.asarray(ref_bad.s)[:nv]
+    cx = np.asarray(ref_bad.x)[:nv] + cfg_off.front_length * np.cos(rh)
+    cy = np.asarray(ref_bad.y)[:nv] + cfg_off.front_length * np.sin(rh)
+    ang = rh + np.pi / 2
+    max_s = rs + 5.0
+    p_newton = splines.project_directional_newton(
+        xs, ys, jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(ang),
+        jnp.asarray(max_s), jnp.asarray(rs + cfg_off.front_length), 12)
+    r_newton = np.asarray(splines.directional_ray_residual(
+        xs, ys, jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(ang), p_newton))
+    p_scan = splines.project_directional(
+        xs, ys, jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(ang),
+        jnp.asarray(max_s), start_s=jnp.asarray(np.maximum(rs - 5.0, 0.0)),
+        grid=0.5, max_grid_points=21, iters=12)
+    r_scan = np.asarray(splines.directional_ray_residual(
+        xs, ys, jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(ang), p_scan))
+
+    assert (r_newton > 0.1).sum() > nv // 2, \
+        "expected the degraded hints to strand Newton on most knots"
+    assert (np.minimum(r_scan, r_newton) < 1e-2).all()
+    # And the fallback actually changes the extracted corridor.
+    d_ub = np.abs(np.asarray(cb_off.front_ub)[:nv]
+                  - np.asarray(cb_on.front_ub)[:nv])
+    assert d_ub.max() > 1.0

@@ -152,3 +152,56 @@ def test_newton_12_iters_reaches_20_iter_fixed_point():
                                              hint, iters=20)
     np.testing.assert_allclose(np.asarray(d12), np.asarray(d20),
                                atol=1e-4, rtol=0)
+
+
+def _hook_pair(dtype=jnp.float32):
+    """A curve that doubles back in x (a hook): x(s) is non-monotone, so the
+    ray-crossing equation p1(s) = 0 has multiple roots and Newton from a bad
+    hint lands far from any of them."""
+    t = np.linspace(0.0, 3.6 * np.pi / 2, 60)
+    x = 8.0 * np.sin(t)                      # rises to 8, folds back
+    y = 8.0 * (1.0 - np.cos(t))
+    seg = np.hypot(np.diff(x), np.diff(y))
+    s = np.concatenate([[0.0], np.cumsum(seg)])
+    xs = splines.fit_natural(jnp.asarray(s, dtype), jnp.asarray(x, dtype))
+    ys = splines.fit_natural(jnp.asarray(s, dtype), jnp.asarray(y, dtype))
+    return xs, ys, float(s[-1])
+
+
+def test_directional_prescan_matches_brute_force():
+    """project_directional (grid pre-scan + Newton, the reference's
+    getDirectionalProjection with its tools.cpp:147 min-tracking bug FIXED)
+    must land on the brute-force minimum-|ray distance| point."""
+    xs, ys, max_s = _hook_pair()
+    tx, ty, angle = 5.0, -2.0, np.pi / 2     # vertical ray x = 5
+    p = float(splines.project_directional(xs, ys, tx, ty, angle, max_s,
+                                          grid=1.0, max_grid_points=64))
+    # Brute force on a dense grid + the residual must be ~0 (a true crossing).
+    dense = np.linspace(0.0, max_s, 20001)
+    rx = np.asarray(splines.evaluate(xs, jnp.asarray(dense, jnp.float32)))
+    res_dense = np.abs(rx - tx)              # ray distance for this geometry
+    r_p = float(splines.directional_ray_residual(
+        xs, ys, tx, ty, angle, jnp.asarray(p)))
+    assert r_p < 1e-2
+    # p is one of the dense near-minima (within one grid-refinement step).
+    near = dense[res_dense < 5e-2]
+    assert near.size and np.min(np.abs(near - p)) < 0.05
+
+
+def test_directional_newton_bad_hint_rescued_by_prescan():
+    """From a hint on the folded-back branch, pure Newton strands far from
+    the ray (the failure mode the pre-scan exists for); the pre-scan variant
+    recovers a true crossing."""
+    xs, ys, max_s = _hook_pair()
+    tx, ty, angle = 5.0, -2.0, np.pi / 2
+    bad_hint = 0.75 * max_s                  # deep in the fold
+    p_newton = splines.project_directional_newton(
+        xs, ys, tx, ty, angle, max_s, bad_hint, iters=12)
+    r_newton = float(splines.directional_ray_residual(
+        xs, ys, tx, ty, angle, p_newton))
+    p_scan = splines.project_directional(
+        xs, ys, tx, ty, angle, max_s, grid=1.0, max_grid_points=64, iters=12)
+    r_scan = float(splines.directional_ray_residual(
+        xs, ys, tx, ty, angle, p_scan))
+    assert r_newton > 0.1, "expected the bad hint to strand Newton"
+    assert r_scan < 1e-2

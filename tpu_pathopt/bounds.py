@@ -164,9 +164,24 @@ def _update_bounds_impl(gm, xs, ys, ref: RefStates, front_len, rear_len,
         # along the state normal (reference :192-205).
         max_s = ref.s + 5.0
         hint = ref.s + length
+        normal = ref.heading + jnp.pi / 2
         proj_s = splines.project_directional_newton(
-            xs, ys, cx, cy, ref.heading + jnp.pi / 2, max_s, hint,
+            xs, ys, cx, cy, normal, max_s, hint,
             iters=config.newton_iters)
+        if cfg.directional_prescan_fallback:
+            # Bounded grid pre-scan (the reference's getDirectionalProjection
+            # with its min-tracking bug fixed) as a rescue when Newton from
+            # the arc-length hint diverges; keep whichever candidate lands
+            # closer to the ray.
+            alt_s = splines.project_directional(
+                xs, ys, cx, cy, normal, max_s,
+                start_s=jnp.maximum(ref.s - 5.0, 0.0), grid=0.5,
+                max_grid_points=21, iters=config.newton_iters)
+            r_newton = splines.directional_ray_residual(
+                xs, ys, cx, cy, normal, proj_s)
+            r_alt = splines.directional_ray_residual(
+                xs, ys, cx, cy, normal, alt_s)
+            proj_s = jnp.where(r_alt < r_newton, alt_s, proj_s)
         px = splines.evaluate(xs, proj_s)
         py = splines.evaluate(ys, proj_s)
         # Clearance at the projected point, with the *state* heading (:206).

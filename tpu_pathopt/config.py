@@ -83,6 +83,15 @@ class PlannerConfig:
     # latency — 12 keeps a 4-iteration safety margin while matching the
     # reference's answers to f32 precision.
     newton_iters: int = 12
+    # Directional-projection grid pre-scan fallback in bound extraction
+    # (getDirectionalProjection, tools.cpp:128-155 — implemented with its
+    # min-tracking bug FIXED, see splines.project_directional). The reference
+    # mainline only ever calls the Newton variant
+    # (reference_path_impl.cpp:192-205), so OFF matches reference behavior;
+    # ON adds a bounded +-5 m grid pre-scan per axle projection and keeps
+    # whichever candidate lands closer to the ray — robust when the Newton
+    # hint is far from the optimum (e.g. kinked high-curvature refits).
+    directional_prescan_fallback: bool = False
     # Curvature-adaptive resampling (reference_path_impl.cpp:321-335, default
     # ON in the reference): spacing ramps from output_spacing down to half of
     # it as |k| rises through [0.08, 0.2]. Implemented as a fixed-length scan

@@ -321,6 +321,53 @@ def project(xs: CubicSpline, ys: CubicSpline, tx, ty, max_s, start_s=0.0,
     return project_newton(xs, ys, tx, ty, max_s, best)
 
 
+def project_directional(xs: CubicSpline, ys: CubicSpline, tx, ty, angle,
+                        max_s, start_s=0.0, grid: float = 1.0,
+                        max_grid_points: int = 256, iters: int = 20):
+    """Directional projection with a bounded grid pre-scan before the Newton
+    polish (reference: getDirectionalProjection, tools.cpp:128-155): scan
+    ``max_grid_points`` candidates from ``start_s`` at ``grid`` spacing for
+    the point of minimum |signed ray distance|, then Newton from the winner.
+
+    The reference's grid scan contains a swapped assignment
+    (``tmp_dot_value = min_dot_value;``, tools.cpp:147) so its minimum never
+    updates and the result degenerates to Newton from the *last* grid point;
+    the reference mainline is unaffected because updateBoundsImproved calls
+    the Newton variant directly (reference_path_impl.cpp:192-205). Implemented
+    here with the min tracking FIXED (documented divergence, SURVEY.md §7) —
+    this is the robust fallback when a Newton hint is far from the optimum.
+    Vectorized over any common leading shape of (tx, ty, angle, max_s,
+    start_s)."""
+    tx = jnp.asarray(tx)
+    ty = jnp.asarray(ty)
+    angle = jnp.asarray(angle)
+    max_s = jnp.asarray(max_s)
+    offs = grid * jnp.arange(max_grid_points, dtype=jnp.float32)
+    cand = jnp.asarray(start_s)[..., None] + offs      # (..., G)
+    valid = cand <= max_s[..., None]
+    cand = jnp.clip(cand, 0.0, max_s[..., None])
+    cx = evaluate(xs, cand)
+    cy = evaluate(ys, cand)
+    v1 = jnp.sin(angle)[..., None]
+    v2 = -jnp.cos(angle)[..., None]
+    ray_dist = jnp.abs(v1 * (cx - tx[..., None]) + v2 * (cy - ty[..., None]))
+    ray_dist = jnp.where(valid, ray_dist, jnp.inf)
+    best = jnp.take_along_axis(cand, jnp.argmin(ray_dist, axis=-1)[..., None],
+                               axis=-1)[..., 0]
+    return project_directional_newton(xs, ys, tx, ty, angle, max_s, best,
+                                      iters=iters)
+
+
+def directional_ray_residual(xs: CubicSpline, ys: CubicSpline, tx, ty, angle,
+                             s):
+    """|signed distance of the curve point at s from the ray through (tx, ty)
+    along `angle`| — 0 at a true directional projection. Used to grade Newton
+    results (bounds.py fallback selection)."""
+    tbl = pack_xy(xs, ys)
+    x, y, *_ = eval_xy_fused(xs, ys, tbl, s)
+    return jnp.abs(jnp.sin(angle) * (x - tx) - jnp.cos(angle) * (y - ty))
+
+
 def project_directional_newton(xs: CubicSpline, ys: CubicSpline, tx, ty, angle,
                                max_s, hint_s, iters: int = 20):
     """Projection along the ray through (tx, ty) with direction `angle`:
