@@ -30,10 +30,11 @@ import numpy as np
 GRIDMAP = "/root/reference/gridmap.png"
 R_RAW = 16   # padded raw reference points per scenario
 # All bench maps are zero-padded to one canonical array shape so the three
-# sections (adversarial 300x300, easy 300x300, gridmap.png 710x701) share a
-# single compiled solve program (maps.GridMap carries the valid extent as
-# dynamic scalars). 712x704 covers the reference fixture with 8-multiples.
-PAD_SHAPE = (712, 704)
+# sections (adversarial 300x300, easy 300x300, gridmap.png 701x710 rows x
+# cols) share a single compiled solve program (maps.GridMap carries the
+# valid extent as dynamic scalars). 704x712 covers the reference fixture
+# with 8-multiples.
+PAD_SHAPE = (704, 712)
 
 
 def enable_compilation_cache():

@@ -81,6 +81,23 @@ out = dict(pid=pid, n_total=int(stats.n_total), n_ok=int(stats.n_ok),
            n_blocked=int(stats.n_blocked),
            mean_qp_iters=float(stats.mean_qp_iters),
            l_local=l_local.tolist(), lo=lo)
+
+# --- Uneven per-host shards (a straggler host with fewer scenarios must not
+# wedge the fleet): proc0 holds 5 scenarios, proc1 holds 3. make_global_batch
+# pads each host to the fleet max (rounded to its local device count) and
+# returns the validity mask; stats must count only the 8 real scenarios. ---
+offs_un_global = np.linspace(-0.4, 0.4, 8).astype(np.float32)
+offs_un = offs_un_global[:5] if pid == 0 else offs_un_global[5:]
+scs_un = jax.vmap(make)(jnp.asarray(offs_un))
+gm_g2, scs_g2, valid_g = dist.make_global_batch(gm, scs_un, mesh, uneven=True)
+res2, stats2 = dist.solve_sharded(gm_g2, scs_g2, cfg, mesh, st, valid=valid_g)
+# Streamed with the uneven mask (2 batches through the cached compilation).
+total, dt, sps = dist.solve_streamed(
+    gm_g2, ((scs_g2, valid_g) for _ in range(2)), cfg, mesh, st)
+out.update(un_n_total=int(stats2.n_total), un_n_ok=int(stats2.n_ok),
+           un_valid=int(np.asarray(valid_g).sum()),
+           un_batch_padded=int(res2.ok.shape[0]),
+           st_n_total=int(total.n_total), st_n_ok=int(total.n_ok))
 with open(os.path.join(outdir, f"worker{pid}.json"), "w") as f:
     json.dump(out, f)
 """
@@ -114,9 +131,19 @@ def test_two_process_sharded_solve(tmp_path):
     w1 = json.loads((tmp_path / "worker1.json").read_text())
 
     # Replicated fleet stats identical across processes.
-    for key in ("n_total", "n_ok", "n_blocked", "mean_qp_iters"):
+    for key in ("n_total", "n_ok", "n_blocked", "mean_qp_iters",
+                "un_n_total", "un_n_ok", "st_n_total", "st_n_ok"):
         assert w0[key] == w1[key], key
     assert w0["n_total"] == 16
+
+    # Uneven shards: 5 + 3 real scenarios, padded to 8 per process (local
+    # device count 4), stats count only the real 8; the 2-batch stream
+    # accumulates 16 without wedging on the straggler.
+    assert w0["un_valid"] == 8
+    assert w0["un_batch_padded"] == 16
+    assert w0["un_n_total"] == 8
+    assert w0["st_n_total"] == 16
+    assert w0["st_n_ok"] == 2 * w0["un_n_ok"]
 
     # Against a single-process solve of the same global batch.
     import jax

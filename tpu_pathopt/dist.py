@@ -85,24 +85,28 @@ def pad_batch(scenarios: pipeline.Scenario, multiple: int):
     return scenarios, jnp.arange(Bp) < B, B
 
 
-def solve_sharded(gm: maps.GridMap, scenarios: pipeline.Scenario,
-                  config: PlannerConfig, mesh: Mesh,
-                  settings: QPSettings = QPSettings()):
-    """Solve a global batch sharded over the mesh. A batch that does not
-    divide by the mesh size is padded by edge-replication and masked out of
-    the fleet statistics; the result is sliced back to the caller's batch.
-    Returns (PathResult sharded, FleetStats replicated)."""
-    n_shards = int(np.prod(mesh.devices.shape))
-    scenarios, valid, B = pad_batch(scenarios, n_shards)
-
+@functools.lru_cache(maxsize=16)
+def _sharded_solver(mesh: Mesh, config: PlannerConfig, settings: QPSettings):
+    """Build (and cache) the jitted sharded solve for one (mesh, config,
+    settings). Caching the jit wrapper is essential: a fresh ``@jax.jit``
+    closure per call would retrace AND recompile the full pipeline on every
+    ``solve_sharded`` call — streaming would pay the whole compile per batch.
+    """
     # The jit wrapper is essential: an un-jitted shard_map evaluates its body
-    # eagerly per shard. check_vma stays ON — every scan/while carry in the
-    # engine derives its varying-axes type from problem data
-    # (jaxutil.with_vma_of), so the checker can guard future collectives.
+    # eagerly per shard. check_vma is OFF: on real TPU hardware the varying-
+    # axes checker reaches into the Pallas round kernels' in-kernel fori_loop
+    # carries and reports a carry-type mismatch the surrounding program
+    # cannot fix (the kernel jaxpr's ref loads/stores do not thread vma), so
+    # the sharded solve fails to trace with the fused kernels enabled. The
+    # body is per-shard except the explicit psum/pmax stats below; the engine
+    # still types its scan/while carries from problem data
+    # (jaxutil.with_vma_of) so the checker can be re-enabled once Pallas
+    # carries vma through.
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
+        check_vma=False,
         in_specs=(P(), P("scenarios"), P("scenarios")),
         out_specs=(P("scenarios"), P()),
     )
@@ -123,14 +127,35 @@ def solve_sharded(gm: maps.GridMap, scenarios: pipeline.Scenario,
             / jnp.maximum(n_total, 1).astype(jnp.float32))
         return res, stats
 
-    res, stats = _run(gm, scenarios, valid)
-    if res.ok.shape[0] != B:
+    return _run
+
+
+def solve_sharded(gm: maps.GridMap, scenarios: pipeline.Scenario,
+                  config: PlannerConfig, mesh: Mesh,
+                  settings: QPSettings = QPSettings(), valid=None):
+    """Solve a global batch sharded over the mesh. A batch that does not
+    divide by the mesh size is padded by edge-replication and masked out of
+    the fleet statistics; the result is sliced back to the caller's batch.
+    Returns (PathResult sharded, FleetStats replicated).
+
+    ``valid`` (global (B,) bool, sharded like the batch) marks real scenarios
+    when the caller already padded — e.g. uneven per-host shards from
+    ``make_global_batch(..., uneven=True)``. Padded entries are edge
+    replicas: they solve (fixed shapes) but are excluded from FleetStats and
+    the result is NOT sliced (the caller holds the mask)."""
+    if valid is None:
+        n_shards = int(np.prod(mesh.devices.shape))
+        scenarios, valid, B = pad_batch(scenarios, n_shards)
+    else:
+        B = None
+    res, stats = _sharded_solver(mesh, config, settings)(gm, scenarios, valid)
+    if B is not None and res.ok.shape[0] != B:
         res = jax.tree_util.tree_map(lambda a: a[:B], res)
     return res, stats
 
 
 def make_global_batch(gm: maps.GridMap, local_scenarios: pipeline.Scenario,
-                      mesh: Mesh):
+                      mesh: Mesh, uneven: bool = False):
     """Assemble globally-sharded inputs from per-process local data.
 
     Under ``jax.distributed`` each host holds only its shard of the scenario
@@ -138,16 +163,47 @@ def make_global_batch(gm: maps.GridMap, local_scenarios: pipeline.Scenario,
     "scenarios" mesh axis, grid map replicated) that ``solve_sharded``'s jit
     consumes. Single-process it is equivalent to ``device_put`` with the same
     shardings, so the same driver code runs 1..N hosts unchanged.
+
+    With ``uneven=True`` the per-process local batch sizes may differ (a
+    straggler host with fewer scenarios must not wedge the fleet): every
+    process learns the fleet-wide maximum via a host-level allgather, pads
+    its local shard by edge-replication to that size (rounded up to its
+    local device count), and the returned global ``valid`` mask marks the
+    real scenarios. Returns (gm_g, scs_g) or, when uneven,
+    (gm_g, scs_g, valid_g) — pass ``valid_g`` to ``solve_sharded``.
     """
     shard = NamedSharding(mesh, P("scenarios"))
     rep = NamedSharding(mesh, P())
+    valid_local = None
+    if uneven:
+        from jax.experimental import multihost_utils
+        B_local = int(jax.tree_util.tree_leaves(local_scenarios.n_raw)[0]
+                      .shape[0])
+        all_b = np.asarray(multihost_utils.process_allgather(
+            np.asarray([B_local], np.int32))).reshape(-1)
+        n_local_dev = sum(1 for d in mesh.devices.flat
+                          if d.process_index == jax.process_index())
+        B_pad = -(-int(all_b.max()) // n_local_dev) * n_local_dev
+
+        def pad(a):
+            a = np.asarray(a)
+            if a.shape[0] == B_pad:
+                return a
+            reps = np.broadcast_to(a[-1:], (B_pad - a.shape[0],) + a.shape[1:])
+            return np.concatenate([a, reps], axis=0)
+
+        local_scenarios = jax.tree_util.tree_map(pad, local_scenarios)
+        valid_local = np.arange(B_pad) < B_local
     scs = jax.tree_util.tree_map(
         lambda a: jax.make_array_from_process_local_data(shard, np.asarray(a)),
         local_scenarios)
     gm_g = jax.tree_util.tree_map(
         lambda a: jax.make_array_from_process_local_data(rep, np.asarray(a)),
         gm)
-    return gm_g, scs
+    if not uneven:
+        return gm_g, scs
+    valid_g = jax.make_array_from_process_local_data(shard, valid_local)
+    return gm_g, scs, valid_g
 
 
 @flax.struct.dataclass
@@ -169,15 +225,20 @@ def solve_streamed(gm: maps.GridMap, scenario_batches, config: PlannerConfig,
     ``scenario_batches`` yields equal-shaped ``pipeline.Scenario`` batches
     (each divisible by the mesh size, so one compilation serves the whole
     stream — the multi-host analogue of OSQP's warm-started repeated solves,
-    SURVEY.md §5.4). Per-batch results are handed to ``consume`` (if given)
-    while the next batch executes; fleet statistics accumulate across the
-    stream. Returns (StreamStats, wall seconds, solves/s).
+    SURVEY.md §5.4), or ``(batch, valid)`` pairs for pre-padded uneven
+    shards from ``make_global_batch(..., uneven=True)`` — a straggler host
+    with fewer scenarios streams masked padding instead of wedging the
+    fleet. Per-batch results are handed to ``consume`` (if given) while the
+    next batch executes; fleet statistics accumulate across the stream
+    (padded entries excluded). Returns (StreamStats, wall seconds, solves/s).
     """
     total = None
     t0 = time.time()
     prev = None
-    for scs in scenario_batches:
-        res, stats = solve_sharded(gm, scs, config, mesh, settings)
+    for item in scenario_batches:
+        scs, valid = item if isinstance(item, tuple) else (item, None)
+        res, stats = solve_sharded(gm, scs, config, mesh, settings,
+                                   valid=valid)
         if prev is not None and consume is not None:
             consume(prev)           # overlap host consumption with device work
         prev = res

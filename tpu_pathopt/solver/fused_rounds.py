@@ -51,6 +51,17 @@ NB = 6  # block size (variables per knot)
 _COMPILER_PARAMS = pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024)
 
 
+def _sds(like):
+    """ShapeDtypeStruct matching ``like``, carrying its varying-axes (vma)
+    type: under a ``check_vma=True`` shard_map (dist.solve_sharded) every
+    pallas_call output must declare how it varies over the mesh, or the
+    sharded solve fails to trace on real TPU hardware."""
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(like.shape, like.dtype, vma=vma)
+    return jax.ShapeDtypeStruct(like.shape, like.dtype)
+
+
 def _pad_lanes(a, b_padded: int):
     """Edge-replicate the lane (last) dim of ``a`` up to ``b_padded`` lanes.
 
@@ -168,8 +179,8 @@ def fused_factor(diag, offp, interpret: bool = False):
         return pl.pallas_call(
             functools.partial(_factor_kernel, n=n),
             out_shape=(
-                jax.ShapeDtypeStruct(dg.shape, dg.dtype),
-                jax.ShapeDtypeStruct(dg.shape, dg.dtype),
+                _sds(dg),
+                _sds(dg),
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 2,
             out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 2),
@@ -362,9 +373,9 @@ def fused_structured_round(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y,
         return pl.pallas_call(
             kern,
             out_shape=(
-                jax.ShapeDtypeStruct(v.shape, v.dtype),
-                jax.ShapeDtypeStruct(z.shape, z.dtype),
-                jax.ShapeDtypeStruct(y.shape, y.dtype),
+                _sds(v),
+                _sds(z),
+                _sds(y),
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.VMEM)] * 11,
             out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 3),
@@ -412,11 +423,11 @@ def fused_admm_round(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
         return pl.pallas_call(
             kern,
             out_shape=(
-                jax.ShapeDtypeStruct(v.shape, v.dtype),
-                jax.ShapeDtypeStruct(zk.shape, zk.dtype),
-                jax.ShapeDtypeStruct(ze.shape, ze.dtype),
-                jax.ShapeDtypeStruct(yk.shape, yk.dtype),
-                jax.ShapeDtypeStruct(ye.shape, ye.dtype),
+                _sds(v),
+                _sds(zk),
+                _sds(ze),
+                _sds(yk),
+                _sds(ye),
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
             + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 15,
