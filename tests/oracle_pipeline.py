@@ -300,6 +300,58 @@ def tension2_smooth(x_in, y_in, angle_in, k_in, s_in, cfg: PlannerConfig,
     return sol.x[:M], sol.x[M:2 * M], sol.status == "solved"
 
 
+def tension_qp_dense(m: OracleMap, x_in, y_in, angle_in, cfg: PlannerConfig):
+    """The dense TENSION QP (tension_smoother.cpp:102-176), float64,
+    unpadded. Vars [x(M), y(M), d(M)]; the reference passes a zero gradient
+    (osqpSmooth :67), so the Hessian's absolute scale cannot move the
+    optimum — the stencil outer products are reproduced literally.
+    Returns (P, q, A, lb, ub)."""
+    M = len(x_in)
+    nv = 3 * M
+    P = np.zeros((nv, nv))
+    dds = np.array([1.0, -2.0, 1.0])
+    ddds = np.array([-1.0, 3.0, -3.0, 1.0])
+    dds_part = np.outer(dds, dds) * cfg.cartesian_curvature_weight
+    ddds_part = np.outer(ddds, ddds) * cfg.cartesian_curvature_rate_weight
+    for i in range(M - 2):
+        for base in (0, M):
+            P[base + i:base + i + 3, base + i:base + i + 3] += dds_part
+            if i != M - 3:
+                P[base + i:base + i + 4, base + i:base + i + 4] += ddds_part
+    for i in range(M):
+        P[2 * M + i, 2 * M + i] = cfg.cartesian_deviation_weight
+    q = np.zeros(nv)
+
+    A = np.zeros((nv, nv))
+    lb = np.zeros(nv)
+    ub = np.zeros(nv)
+    for i in range(M):
+        theta = angle_in[i] + np.pi / 2
+        A[i, i] = 1.0
+        A[i, 2 * M + i] = -math.cos(theta)
+        A[M + i, M + i] = 1.0
+        A[M + i, 2 * M + i] = -math.sin(theta)
+        A[2 * M + i, 2 * M + i] = 1.0
+        lb[i] = ub[i] = x_in[i]
+        lb[M + i] = ub[M + i] = y_in[i]
+    # d bounds (:158-176): d0 = 0, end +-0.5, interior clamped clearance.
+    lb[2 * M] = ub[2 * M] = 0.0
+    lb[3 * M - 1], ub[3 * M - 1] = -0.5, 0.5
+    for i in range(1, M - 1):
+        clearance = min(obstacle_distance(m, x_in[i], y_in[i]), 2.0)
+        lb[2 * M + i], ub[2 * M + i] = -clearance, clearance
+    return P, q, A, lb, ub
+
+
+def tension_smooth(m: OracleMap, x_in, y_in, angle_in, cfg: PlannerConfig,
+                   eps=None):
+    """Solve the dense TENSION QP (see :func:`tension_qp_dense`)."""
+    M = len(x_in)
+    P, q, A, lb, ub = tension_qp_dense(m, x_in, y_in, angle_in, cfg)
+    sol = qp_oracle.solve(P, q, A, lb, ub, **_qp_kwargs(cfg, eps))
+    return sol.x[:M], sol.x[M:2 * M], sol.status == "solved"
+
+
 def _qp_kwargs(cfg: PlannerConfig, eps=None):
     e = cfg.qp_eps_abs if eps is None else eps
     return dict(eps_abs=e, eps_rel=e, max_iter=cfg.qp_max_iter,
@@ -437,6 +489,172 @@ def search_corridor(m: OracleMap, xs, ys, length, start_x, start_y,
                 ref_h=ref_h[:max_layer + 1])
 
 
+def search_corridor_astar(m: OracleMap, xs, ys, length, start_x, start_y,
+                          start_heading, cfg: PlannerConfig):
+    """graphSearch (reference_path_smoother.cpp:297-484) with getG (:91-105)
+    and the non-admissible getH (:645-651), scalar float64.
+
+    The priority queue here is a textbook lazy-repush heap; the reference's
+    ``std::priority_queue`` of pointers never re-orders after a decrease-key
+    (:427-431) — a documented quirk whose effect (like the non-admissible h)
+    is a possibly sub-minimal settled g. On the parity routes the orderings
+    coincide; the engine's variant (corridor.search_corridor_astar) computes
+    the exact per-node minimum instead, and the route tests assert the
+    divergence is bounded."""
+    import heapq
+    import itertools
+
+    L = cfg.dp_layers
+    K = cfg.dp_laterals
+    lat_range = cfg.search_lateral_range
+    lat_ds = cfg.search_lateral_spacing
+    half_width = cfg.car_width * 0.5
+    search_k = 1.2
+
+    proj_s = project(xs, ys, start_x, start_y, length)
+    search_ds = cfg.search_longitudinal_spacing if length > 6.0 else 0.5
+    n_interior = int(np.ceil((length - proj_s) / search_ds - 1e-6))
+    n_layers = int(np.clip(n_interior + 1, 1, L))
+    layers_s = np.array([proj_s + j * search_ds if j < n_layers - 1 else length
+                         for j in range(n_layers)])
+    target_s = layers_s[-1]
+
+    px, py = float(xs(proj_s)), float(ys(proj_s))
+    ph = float(heading_of(xs, ys, proj_s))
+    _, vehicle_l = global_to_local(px, py, ph, start_x, start_y)
+    ok = abs(vehicle_l) <= lat_range
+
+    ref_x = xs(layers_s)
+    ref_y = ys(layers_s)
+    ref_h = heading_of(xs, ys, layers_s)
+    ref_k = curvature_of(xs, ys, layers_s)
+
+    # Lattice (:330-347): the turn radius CLAMPS the sampled range (it does
+    # not shift the grid here because the enumeration starts at right_range);
+    # nodes kept when inside and clear of 1.2 * half_width.
+    nodes = [[dict(s=layers_s[0], l=vehicle_l, x=start_x, y=start_y, dir=ph,
+                   offset_idx=0, rough_lb=-10.0, rough_ub=10.0)]]
+    for j in range(1, n_layers):
+        rr = 1.0 / ref_k[j] if abs(ref_k[j]) > 1e-9 else math.copysign(
+            1e9, ref_k[j] if ref_k[j] != 0 else 1.0)
+        left_range = min(lat_range, rr) if rr > 0 else lat_range
+        right_range = max(-lat_range, rr) if rr < 0 else -lat_range
+        pts = []
+        offset = right_range
+        offset_idx = 0
+        while offset <= left_range + 1e-12:
+            nx, ny = normal_offset(ref_x[j], ref_y[j], ref_h[j], offset)
+            if is_inside(m, nx, ny) and \
+                    obstacle_distance(m, nx, ny) > search_k * half_width:
+                pts.append(dict(s=layers_s[j], l=offset, x=nx, y=ny,
+                                dir=ref_h[j], offset_idx=offset_idx))
+            offset += lat_ds
+            offset_idx += 1
+        # Rough bounds from offset_idx contiguity (:349-361).
+        for i, p in enumerate(pts):
+            if i == 0 or p["offset_idx"] != pts[i - 1]["offset_idx"] + 1:
+                p["rough_lb"] = p["l"]
+            else:
+                p["rough_lb"] = pts[i - 1]["rough_lb"]
+        for i in range(len(pts) - 1, -1, -1):
+            p = pts[i]
+            if i == len(pts) - 1 or \
+                    p["offset_idx"] != pts[i + 1]["offset_idx"] - 1:
+                p["rough_ub"] = p["l"]
+            else:
+                p["rough_ub"] = pts[i + 1]["rough_ub"]
+        nodes.append(pts)
+
+    def get_g_inc(p):
+        # getG (:91-105): child-only obstacle + deviation increments.
+        d = obstacle_distance(m, p["x"], p["y"])
+        obstacle = (5.0 - d) / 5.0 * cfg.search_obstacle_cost if d < 5.0 \
+            else 0.0
+        return obstacle + abs(p["l"]) / lat_range * cfg.search_deviation_cost
+
+    h_of = lambda s: (target_s - s) * 0.1      # getH (:645-651)
+    g = {(0, 0): 0.0}
+    parent = {}
+    closed = set()
+    cnt = itertools.count()
+    heap = [(h_of(layers_s[0]), next(cnt), (0, 0))]
+    max_layer_reached = 0
+    goal = None
+    while heap:
+        f, _, nid = heapq.heappop(heap)
+        if f > g[nid] + h_of(nodes[nid[0]][nid[1]]["s"]) + 1e-12:
+            continue                            # stale lazy-repush entry
+        j, i = nid
+        if abs(nodes[j][i]["s"] - target_s) < 1e-9:
+            goal = nid
+            break
+        if nid in closed:
+            continue
+        closed.add(nid)
+        max_layer_reached = max(max_layer_reached, j)
+        if j + 1 < n_layers:
+            p = nodes[j][i]
+            for ci, child in enumerate(nodes[j + 1]):
+                if abs(math.atan2(child["l"] - p["l"], child["s"] - p["s"])) \
+                        > math.radians(60.0):
+                    continue
+                cid = (j + 1, ci)
+                if cid in closed:
+                    continue
+                new_g = g[nid] + get_g_inc(child)
+                if cid not in g or new_g < g[cid]:
+                    g[cid] = new_g
+                    parent[cid] = nid
+                    heapq.heappush(heap, (new_g + h_of(child["s"]),
+                                          next(cnt), cid))
+    if goal is None:
+        # Open set exhausted: min-f settled node in the deepest layer
+        # reached (:434-443).
+        cands = [(g[(max_layer_reached, i)]
+                  + h_of(nodes[max_layer_reached][i]["s"]), i)
+                 for i in range(len(nodes[max_layer_reached]))
+                 if (max_layer_reached, i) in g]
+        goal = (max_layer_reached, min(cands)[1]) if cands else (0, 0)
+
+    # Backtrack + per-node corridor expansion (:449-484): asymmetric
+    # thresholds — 1.3 * half_width above, search_k * half_width below.
+    path = []
+    nid = goal
+    while True:
+        path.append(nid)
+        if nid[0] == 0:
+            break
+        nid = parent[nid]
+    path.reverse()
+
+    def expand(j, base, sign, thr):
+        pos = base
+        while sign * pos < 6.0:
+            cx, cy = normal_offset(ref_x[j], ref_y[j], ref_h[j], pos)
+            if not (is_inside(m, cx, cy)
+                    and obstacle_distance(m, cx, cy) > thr):
+                return pos - sign * 0.2
+            pos += sign * 0.2
+        return pos
+
+    npath = len(path)
+    lower = np.zeros(npath)
+    upper = np.zeros(npath)
+    lower[0], upper[0] = -10.0, 10.0
+    for idx in range(1, npath):
+        j, i = path[idx]
+        node = nodes[j][i]
+        upper[idx] = expand(j, node["rough_ub"] + 0.2, +1.0,
+                            1.3 * half_width)
+        lower[idx] = expand(j, node["rough_lb"] - 0.2, -1.0,
+                            search_k * half_width)
+
+    return dict(layers_s=layers_s[:npath], lower=lower, upper=upper,
+                n_layers=npath, vehicle_l=vehicle_l, ok=ok,
+                ref_x=ref_x[:npath], ref_y=ref_y[:npath],
+                ref_h=ref_h[:npath])
+
+
 # ------------------------ stage 5: post-smoothing QP -------------------------
 
 def post_smooth(layers_s, lower, upper, vehicle_l, cfg: PlannerConfig,
@@ -542,11 +760,21 @@ def clearance_strict(m, x, y, heading, cfg: PlannerConfig):
     return left - margin, right + margin
 
 
-def update_bounds(m, xs, ys, ref, cfg: PlannerConfig):
+def update_bounds(m, xs, ys, ref, cfg: PlannerConfig, with_center=False):
     """updateBoundsImproved (reference_path_impl.cpp:177-230) + blocked
-    truncation."""
+    truncation. ``with_center`` adds the center-state corridor (:207),
+    consumed only by the rough far-away rows (base_solver.cpp:241-246)."""
     n = ref["n_valid"]
     out = {}
+    if with_center:
+        c_ub = np.zeros(n)
+        c_lb = np.zeros(n)
+        for i in range(n):
+            left, right = clearance_strict(m, ref["x"][i], ref["y"][i],
+                                           ref["heading"][i], cfg)
+            c_ub[i], c_lb[i] = left, right
+        out["center_ub"] = c_ub
+        out["center_lb"] = c_lb
     for name, length in (("front", cfg.front_length), ("rear", cfg.rear_length)):
         ub = np.zeros(n)
         lb = np.zeros(n)
@@ -636,19 +864,36 @@ def assemble_path_qp(ref, cb, input_l, input_e, input_k, init_offset,
         # Curvature row.
         A[r + 3, i * NB + 2] = 1.0
         lb[r + 3], ub[r + 3] = -cfg.kappa_limit, cfg.kappa_limit
-        # Collision rows.
-        A[r + 4, i * NB + 0] = 1.0
-        A[r + 4, i * NB + 1] = cfg.front_length
-        A[r + 4, i * NB + 4] = 1.0
-        A[r + 5, i * NB + 0] = 1.0
-        A[r + 5, i * NB + 1] = cfg.rear_length
-        A[r + 5, i * NB + 5] = 1.0
-        flb, fub = soft_bounds(cb["front_lb"][i], cb["front_ub"][i],
-                               cfg.expected_safety_margin)
-        rlb, rub = soft_bounds(cb["rear_lb"][i], cb["rear_ub"][i],
-                               cfg.expected_safety_margin)
-        lb[r + 4], ub[r + 4] = flb, fub
-        lb[r + 5], ub[r + 5] = rlb, rub
+        # Collision rows. With rough_constraints_far_away, knots at
+        # s >= precise_planning_length drop to a single center-corridor row
+        # with one slack (base_solver.cpp:25-37, :193-206, :232-248); the
+        # second row pins the unused rear slack to 0 — the engine's
+        # fixed-shape scheme (solver/assembly.py), whose optimum over
+        # (l, e, k, u) coincides with the reference's reduced-variable
+        # layout (a penalized, otherwise-unconstrained slack sits at 0).
+        rough_i = (cfg.rough_constraints_far_away
+                   and s[i] >= cfg.precise_planning_length)
+        if rough_i:
+            A[r + 4, i * NB + 0] = 1.0
+            A[r + 4, i * NB + 4] = 1.0
+            A[r + 5, i * NB + 5] = 1.0
+            clb, cub = soft_bounds(cb["center_lb"][i], cb["center_ub"][i],
+                                   cfg.expected_safety_margin)
+            lb[r + 4], ub[r + 4] = clb, cub
+            lb[r + 5], ub[r + 5] = 0.0, 0.0
+        else:
+            A[r + 4, i * NB + 0] = 1.0
+            A[r + 4, i * NB + 1] = cfg.front_length
+            A[r + 4, i * NB + 4] = 1.0
+            A[r + 5, i * NB + 0] = 1.0
+            A[r + 5, i * NB + 1] = cfg.rear_length
+            A[r + 5, i * NB + 5] = 1.0
+            flb, fub = soft_bounds(cb["front_lb"][i], cb["front_ub"][i],
+                                   cfg.expected_safety_margin)
+            rlb, rub = soft_bounds(cb["rear_lb"][i], cb["rear_ub"][i],
+                                   cfg.expected_safety_margin)
+            lb[r + 4], ub[r + 4] = flb, fub
+            lb[r + 5], ub[r + 5] = rlb, rub
 
     # End rows (base_solver.cpp:249-260; the reference's no-abs 70 deg quirk).
     ei = n - 1
@@ -697,17 +942,25 @@ def solve(m: OracleMap, raw_x, raw_y, start, target, cfg: PlannerConfig,
     xb, yb, sb = bspline_fit_and_sample(raw_x, raw_y)
     xg, yg, sg, ang, kg, n_seg = segment_raw_reference(
         xb, yb, sb, cfg.n_segment_points)
-    out["seg"] = dict(x=xg, y=yg, s=sg, n=n_seg)
+    out["seg"] = dict(x=xg, y=yg, s=sg, n=n_seg, angle=ang)
 
-    # Stage 3: TENSION2 smoothing QP.
-    x2, y2, conv_smooth = tension2_smooth(xg, yg, ang, kg, sg, cfg, eps)
+    # Stage 3: smoothing QP (TENSION2 default; TENSION variant per
+    # cfg.smoothing_method, mirroring the create() factory,
+    # reference_path_smoother.cpp:17-29).
+    if cfg.smoothing_method == "TENSION":
+        x2, y2, conv_smooth = tension_smooth(m, xg, yg, ang, cfg, eps)
+    else:
+        x2, y2, conv_smooth = tension2_smooth(xg, yg, ang, kg, sg, cfg, eps)
     out["smooth"] = dict(x=x2, y=y2, ok=conv_smooth)
 
-    # Stage 4: smoothed refit + DP corridor (reference extends 3 m past the
-    # fit, tension_smoother.cpp:40-41).
+    # Stage 4: smoothed refit + corridor search (reference extends 3 m past
+    # the fit, tension_smoother.cpp:40-41). DP is the reference's live path;
+    # ASTAR is its present-but-uncalled graphSearch.
     xs2, ys2, s2_max = refit_xy(x2, y2)
-    cor = search_corridor(m, xs2, ys2, s2_max + 3.0, start_x, start_y,
-                          start_heading, cfg)
+    corridor_fn = (search_corridor_astar if cfg.corridor_method == "ASTAR"
+                   else search_corridor)
+    cor = corridor_fn(m, xs2, ys2, s2_max + 3.0, start_x, start_y,
+                      start_heading, cfg)
     out["corridor"] = cor
 
     # Stage 5: post-smoothing QP (>= 4 layers required, :528-531).
@@ -736,7 +989,8 @@ def solve(m: OracleMap, raw_x, raw_y, start, target, cfg: PlannerConfig,
         length3 = project(xs3, ys3, target_x, target_y, length3)
 
     ref = build_reference_from_spline(xs3, ys3, length3, cfg)
-    cb = update_bounds(m, xs3, ys3, ref, cfg)
+    cb = update_bounds(m, xs3, ys3, ref, cfg,
+                       with_center=cfg.rough_constraints_far_away)
     n_valid = cb["n_valid"]
     out["ref"] = ref
     out["bounds"] = cb

@@ -94,8 +94,12 @@ res2, stats2 = dist.solve_sharded(gm_g2, scs_g2, cfg, mesh, st, valid=valid_g)
 # Streamed with the uneven mask (2 batches through the cached compilation).
 total, dt, sps = dist.solve_streamed(
     gm_g2, ((scs_g2, valid_g) for _ in range(2)), cfg, mesh, st)
+# valid_g spans both processes; count this host's real scenarios from its
+# addressable shards (the global count is already in stats2.n_total).
+un_valid_local = int(sum(np.asarray(s.data).sum()
+                         for s in valid_g.addressable_shards))
 out.update(un_n_total=int(stats2.n_total), un_n_ok=int(stats2.n_ok),
-           un_valid=int(np.asarray(valid_g).sum()),
+           un_valid_local=un_valid_local,
            un_batch_padded=int(res2.ok.shape[0]),
            st_n_total=int(total.n_total), st_n_ok=int(total.n_ok))
 with open(os.path.join(outdir, f"worker{pid}.json"), "w") as f:
@@ -139,7 +143,7 @@ def test_two_process_sharded_solve(tmp_path):
     # Uneven shards: 5 + 3 real scenarios, padded to 8 per process (local
     # device count 4), stats count only the real 8; the 2-batch stream
     # accumulates 16 without wedging on the straggler.
-    assert w0["un_valid"] == 8
+    assert w0["un_valid_local"] == 5 and w1["un_valid_local"] == 3
     assert w0["un_batch_padded"] == 16
     assert w0["un_n_total"] == 8
     assert w0["st_n_total"] == 16

@@ -34,8 +34,11 @@ import pytest
 
 GRIDMAP = "/root/reference/gridmap.png"
 
-pytestmark = pytest.mark.skipif(not os.path.exists(GRIDMAP),
-                                reason="reference gridmap.png not available")
+pytestmark = [
+    pytest.mark.slow,
+    pytest.mark.skipif(not os.path.exists(GRIDMAP),
+                       reason="reference gridmap.png not available"),
+]
 
 ROUTES = {
     "straight": dict(

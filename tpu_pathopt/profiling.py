@@ -14,6 +14,7 @@ import logging
 import time
 
 import jax
+import numpy as np
 
 logger = logging.getLogger("tpu_pathopt")
 
@@ -29,9 +30,17 @@ class TimeRecorder:
 
     def record(self, name: str, block_on=None):
         """Start a named stage; optionally block on a device value first so
-        the previous stage's async dispatch is actually finished."""
+        the previous stage's async dispatch is actually finished.
+
+        The barrier fetches one output leaf to the host (np.asarray) rather
+        than relying on ``block_until_ready`` alone: on remote/tunneled
+        backends the ready-event can resolve before the computation actually
+        retires, which silently turns per-stage times into dispatch times."""
         if block_on is not None:
             jax.block_until_ready(block_on)
+            leaves = jax.tree_util.tree_leaves(block_on)
+            if leaves:
+                np.asarray(leaves[0])
         self._names.append(name)
         self._times.append(time.perf_counter())
 
