@@ -192,6 +192,13 @@ def build_gridmap(batch=64):
 
 
 def _time_batch(fn, gm, scs, reps):
+    """(result, per-batch synced seconds, pipelined seconds-per-batch).
+
+    Synced timing pays the host<->device round trip every batch (~25-50 ms
+    on a tunneled TPU) — that is the single-query LATENCY. The pipelined
+    number dispatches all reps back-to-back and syncs once — the serving
+    THROUGHPUT, matching how a fleet actually feeds the chip (and how
+    dist.solve_streamed runs). The headline uses the pipelined number."""
     import numpy as np
     out = fn(gm, scs)
     np.asarray(out.x)            # sync (block_until_ready unreliable on axon)
@@ -201,8 +208,12 @@ def _time_batch(fn, gm, scs, reps):
         out = fn(gm, scs)
         np.asarray(out.x)
         times.append(time.time() - t0)
-    times = np.asarray(times)
-    return out, times
+    t0 = time.time()
+    for _ in range(reps):
+        out = fn(gm, scs)
+    np.asarray(out.x)
+    pipelined = (time.time() - t0) / reps
+    return out, np.asarray(times), pipelined
 
 
 def stream_64k(n_total=65536):
@@ -245,10 +256,12 @@ def sweep(batches=(128, 256, 512, 1024), reps=8):
     out = {}
     for b in batches:
         gm, scs, _ = build_adversarial(b)
-        _, times = _time_batch(fn, gm, scs, reps)
-        out[b] = round(b / float(np.mean(times)), 2)
-        print(json.dumps({"batch": b, "solves_per_s": out[b],
-                          "p50_batch_s": round(float(np.percentile(times, 50)), 4)}))
+        _, times, pipelined = _time_batch(fn, gm, scs, reps)
+        out[b] = round(b / pipelined, 2)
+        print(json.dumps({
+            "batch": b, "solves_per_s": out[b],
+            "synced_solves_per_s": round(b / float(np.mean(times)), 2),
+            "p50_batch_s": round(float(np.percentile(times, 50)), 4)}))
     return out
 
 
@@ -277,11 +290,11 @@ def main():
     print("bench: compiling + timing adversarial batch...", file=sys.stderr,
           flush=True)
     gm, scs, n_lane = build_adversarial(batch)
-    out, times = _time_batch(fn, gm, scs, reps)
+    out, times, pipelined = _time_batch(fn, gm, scs, reps)
     ok = np.asarray(out.ok)
     blocked = np.asarray(out.blocked)
     p50, p99 = float(np.percentile(times, 50)), float(np.percentile(times, 99))
-    solves_per_s = batch / float(np.mean(times))
+    solves_per_s = batch / pipelined
     print(f"bench: adversarial done at t={time.time() - t_start:.0f}s",
           file=sys.stderr, flush=True)
 
@@ -295,6 +308,11 @@ def main():
         "mix": "easy/tight/slalom/blocked = %d each" % n_lane,
         "ok_fraction": float(ok.mean()),
         "blocked_fraction": float(blocked.mean()),
+        # Throughput (the headline `value`) is pipelined: batches dispatched
+        # back-to-back, one sync — the serving pattern. p50/p99 are
+        # round-trip LATENCY per synced batch and include the host<->device
+        # tunnel RTT (~25-50 ms), so p50 * value != batch in general.
+        "synced_solves_per_s": round(batch / float(np.mean(times)), 2),
         "p50_batch_s": round(p50, 4),
         "p99_batch_s": round(p99, 4),
         "easy_solves_per_s": None,
@@ -312,9 +330,9 @@ def main():
         if os.path.exists(GRIDMAP) and remaining() > 30:
             # Same batch + padded map shape as adversarial -> no recompile.
             gm_g, scs_g = build_gridmap(batch)
-            out_g, times_g = _time_batch(fn, gm_g, scs_g, max(reps // 4, 3))
-            result["gridmap_solves_per_s"] = round(
-                batch / float(np.mean(times_g)), 2)
+            out_g, times_g, pipe_g = _time_batch(fn, gm_g, scs_g,
+                                                 max(reps // 4, 3))
+            result["gridmap_solves_per_s"] = round(batch / pipe_g, 2)
             result["gridmap_ok_fraction"] = float(
                 np.asarray(out_g.ok).mean())
             result["gridmap_blocked_fraction"] = float(
@@ -328,9 +346,9 @@ def main():
     try:
         if remaining() > 30:
             gm_e, scs_e = build_easy(batch)
-            out_e, times_e = _time_batch(fn, gm_e, scs_e, max(reps // 4, 3))
-            result["easy_solves_per_s"] = round(
-                batch / float(np.mean(times_e)), 2)
+            out_e, times_e, pipe_e = _time_batch(fn, gm_e, scs_e,
+                                                 max(reps // 4, 3))
+            result["easy_solves_per_s"] = round(batch / pipe_e, 2)
             print(f"bench: easy done at t={time.time() - t_start:.0f}s",
                   file=sys.stderr, flush=True)
     except Exception as e:

@@ -157,42 +157,47 @@ def _update_bounds_impl(gm, xs, ys, ref: RefStates, front_len, rear_len,
     cfg = config
     eps = cfg.epsilon
 
-    def axle_bounds(length):
-        cx = ref.x + length * jnp.cos(ref.heading)
-        cy = ref.y + length * jnp.sin(ref.heading)
-        # Directional Newton projection of the axle center onto the spline
-        # along the state normal (reference :192-205).
-        max_s = ref.s + 5.0
-        hint = ref.s + length
-        normal = ref.heading + jnp.pi / 2
-        proj_s = splines.project_directional_newton(
-            xs, ys, cx, cy, normal, max_s, hint,
-            iters=config.newton_iters)
-        if cfg.directional_prescan_fallback:
-            # Bounded grid pre-scan (the reference's getDirectionalProjection
-            # with its min-tracking bug fixed) as a rescue when Newton from
-            # the arc-length hint diverges; keep whichever candidate lands
-            # closer to the ray.
-            alt_s = splines.project_directional(
-                xs, ys, cx, cy, normal, max_s,
-                start_s=jnp.maximum(ref.s - 5.0, 0.0), grid=0.5,
-                max_grid_points=21, iters=config.newton_iters)
-            r_newton = splines.directional_ray_residual(
-                xs, ys, cx, cy, normal, proj_s)
-            r_alt = splines.directional_ray_residual(
-                xs, ys, cx, cy, normal, alt_s)
-            proj_s = jnp.where(r_alt < r_newton, alt_s, proj_s)
-        px = splines.evaluate(xs, proj_s)
-        py = splines.evaluate(ys, proj_s)
-        # Clearance at the projected point, with the *state* heading (:206).
-        left, right = clearance_strict(gm, px, py, ref.heading, cfg)
-        # Shift into the axle-center frame (:209-215): offset = lateral
-        # coordinate of the projected point in the axle-center frame.
-        _, off, _ = global_to_local(cx, cy, ref.heading, px, py)
-        return left + off, right + off
-
-    front_ub, front_lb = axle_bounds(front_len)
-    rear_ub, rear_lb = axle_bounds(rear_len)
+    # Both axles ride ONE stacked (2, N) projection + clearance chain: the
+    # Newton loop and the clearance marches are latency-bound sequences of
+    # dependent ops, so doubling their width is free while running the axles
+    # separately doubles the whole chain (measured ~2x on this stage).
+    L = jnp.stack([jnp.broadcast_to(front_len, ref.x.shape),
+                   jnp.broadcast_to(rear_len, ref.x.shape)])      # (2, N)
+    cx = ref.x + L * jnp.cos(ref.heading)
+    cy = ref.y + L * jnp.sin(ref.heading)
+    # Directional Newton projection of the axle centers onto the spline
+    # along the state normal (reference :192-205).
+    max_s = jnp.broadcast_to(ref.s + 5.0, L.shape)
+    hint = ref.s + L
+    normal = jnp.broadcast_to(ref.heading + jnp.pi / 2, L.shape)
+    proj_s = splines.project_directional_newton(
+        xs, ys, cx, cy, normal, max_s, hint, iters=config.newton_iters)
+    if cfg.directional_prescan_fallback:
+        # Bounded grid pre-scan (the reference's getDirectionalProjection
+        # with its min-tracking bug fixed) as a rescue when Newton from
+        # the arc-length hint diverges; keep whichever candidate lands
+        # closer to the ray.
+        alt_s = splines.project_directional(
+            xs, ys, cx, cy, normal, max_s,
+            start_s=jnp.maximum(jnp.broadcast_to(ref.s, L.shape) - 5.0, 0.0),
+            grid=0.5, max_grid_points=21, iters=config.newton_iters)
+        r_newton = splines.directional_ray_residual(
+            xs, ys, cx, cy, normal, proj_s)
+        r_alt = splines.directional_ray_residual(
+            xs, ys, cx, cy, normal, alt_s)
+        proj_s = jnp.where(r_alt < r_newton, alt_s, proj_s)
+    px = splines.evaluate(xs, proj_s)
+    py = splines.evaluate(ys, proj_s)
+    # Clearance at the projected points, with the *state* heading (:206).
+    left, right = clearance_strict(
+        gm, px, py, jnp.broadcast_to(ref.heading, L.shape), cfg)
+    # Shift into the axle-center frame (:209-215): offset = lateral
+    # coordinate of the projected point in the axle-center frame.
+    _, off, _ = global_to_local(cx, cy, ref.heading, px, py)
+    ub = left + off
+    lb = right + off
+    front_ub, front_lb = ub[0], lb[0]
+    rear_ub, rear_lb = ub[1], lb[1]
     if with_center:
         center_ub, center_lb = clearance_strict(gm, ref.x, ref.y, ref.heading,
                                                 cfg)

@@ -132,8 +132,17 @@ def fit_natural(s, y, n_valid=None) -> CubicSpline:
 
 
 def _segment_index(sp: CubicSpline, q):
-    """Index of the segment containing q, clipped to valid segments."""
-    i = jnp.searchsorted(sp.s, q, side="right") - 1
+    """Index of the segment containing q, clipped to valid segments.
+
+    Computed as a broadcast compare + lane reduction rather than
+    ``jnp.searchsorted``: XLA lowers searchsorted to a binary-search While of
+    ~log2(N) *dependent* gathers, which is pure latency on TPU — inside the
+    Newton projection loops that chain made the segment lookup the single
+    hottest op of the whole pipeline. The compare-reduce is one fused
+    vector op (knot tables here are <= a few hundred entries, so the O(N)
+    extra compares are free on the VPU)."""
+    q = jnp.asarray(q)
+    i = jnp.sum((q[..., None] >= sp.s).astype(jnp.int32), axis=-1) - 1
     return jnp.clip(i, 0, sp.n_valid - 2)
 
 
