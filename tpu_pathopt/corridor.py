@@ -39,6 +39,27 @@ from tpu_pathopt.jaxutil import with_vma_of
 _INF = 1e30
 _CHECK_S = 0.2
 _CHECK_LIMIT = 6.0
+
+
+def _hold_from_run_start(feas, vals, reverse):
+    """``vals`` held from the start of the contiguous feasible run containing
+    each lateral index (the reference's nearest-infeasible-neighbor scans,
+    reference_path_smoother.cpp:210-226): for infeasible k the value is its
+    own ``vals[k]``; for feasible k it is the value at the first index of
+    k's feasible run. One ``cummax`` over run-start indices instead of a
+    K-step ``lax.scan`` — the scan was ~70 sequential micro-ops per
+    corridor, pure loop latency on TPU."""
+    if reverse:
+        feas = feas[:, ::-1]
+        vals = vals[:, ::-1]
+    K = feas.shape[-1]
+    prev = jnp.concatenate(
+        [jnp.zeros_like(feas[:, :1]), feas[:, :-1]], axis=-1)
+    new_run = ~(feas & prev)                  # run boundary (or infeasible)
+    idx = jnp.broadcast_to(jnp.arange(K), feas.shape)
+    start = jax.lax.cummax(jnp.where(new_run, idx, -1), axis=feas.ndim - 1)
+    out = jnp.take_along_axis(vals, start, axis=-1)
+    return out[:, ::-1] if reverse else out
 # Worst-case march span: a rough bound hugging one wall at -10 m marching to
 # the +6 m check limit = (6 - (-10)) / 0.2 = 80 steps; +2 margin for the
 # initial offset step and the final step-back.
@@ -66,7 +87,8 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
     dt = jnp.float32
 
     # --- Layer longitudinal positions (:148-158) ---
-    proj_s = splines.project(xs, ys, start_x, start_y, length)
+    proj_s = splines.project(xs, ys, start_x, start_y, length,
+                             iters=cfg.newton_iters)
     search_ds = jnp.where(length > 6.0, cfg.search_longitudinal_spacing, 0.5)
     j = jnp.arange(L, dtype=dt)
     n_interior = jnp.ceil((length - proj_s) / search_ds -
@@ -110,27 +132,10 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
     k_idx = jnp.arange(K)
     feasible = feasible.at[0].set(k_idx == start_idx)
 
-    # --- Rough per-layer bounds: hold-scan over the lateral axis (:210-226) ---
-    def hold_scan(feas, vals, reverse):
-        def step(carry, inp):
-            f_prev, b_prev = carry
-            f, v = inp
-            b = jnp.where(f_prev & f, b_prev, v)
-            return (f, b), b
-        xs_in = (feas.T, vals.T) if not reverse else (feas[:, ::-1].T,
-                                                      vals[:, ::-1].T)
-        # Carry init derives its varying-axes type from the (shard-varying)
-        # feasibility mask so check_vma-checked shard_map accepts the scan.
-        (_, _), out = jax.lax.scan(
-            step, (with_vma_of(jnp.zeros_like(feas[:, 0]), feas),
-                   with_vma_of(vals[:, 0] * 0.0, feas.astype(vals.dtype))),
-            xs_in)
-        out = out.T
-        return out if not reverse else out[:, ::-1]
-
+    # --- Rough per-layer bounds over the lateral axis (:210-226) ---
     lat_grid = jnp.broadcast_to(lat, (L, K))
-    rough_lb = hold_scan(feasible, lat_grid, reverse=False)
-    rough_ub = hold_scan(feasible, lat_grid, reverse=True)
+    rough_lb = _hold_from_run_start(feasible, lat_grid, reverse=False)
+    rough_ub = _hold_from_run_start(feasible, lat_grid, reverse=True)
 
     # --- DP over layers (:228-238 + calculateCostAt :107-140) ---
     safe_dist = cfg.dp_safe_distance
@@ -265,7 +270,8 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
     half_width = cfg.car_width * 0.5
 
     # --- Layers (:304-311), identical to the DP variant ---
-    proj_s = splines.project(xs, ys, start_x, start_y, length)
+    proj_s = splines.project(xs, ys, start_x, start_y, length,
+                             iters=cfg.newton_iters)
     search_ds = jnp.where(length > 6.0, cfg.search_longitudinal_spacing, 0.5)
     j = jnp.arange(L, dtype=dt)
     n_interior = jnp.ceil((length - proj_s) / search_ds -
@@ -305,26 +311,9 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
     feasible = in_range & (dis > 1.2 * half_width)
 
     # --- Rough per-layer bounds from lateral contiguity (:349-361) ---
-    def hold_scan(feas, vals, reverse):
-        def step(carry, inp):
-            f_prev, b_prev = carry
-            f, v = inp
-            b = jnp.where(f_prev & f, b_prev, v)
-            return (f, b), b
-        xs_in = (feas.T, vals.T) if not reverse else (feas[:, ::-1].T,
-                                                      vals[:, ::-1].T)
-        # Carry init derives its varying-axes type from the (shard-varying)
-        # feasibility mask so check_vma-checked shard_map accepts the scan.
-        (_, _), out = jax.lax.scan(
-            step, (with_vma_of(jnp.zeros_like(feas[:, 0]), feas),
-                   with_vma_of(vals[:, 0] * 0.0, feas.astype(vals.dtype))),
-            xs_in)
-        out = out.T
-        return out if not reverse else out[:, ::-1]
-
     lat_grid = jnp.broadcast_to(lat, (L, K))
-    rough_lb = hold_scan(feasible, lat_grid, reverse=False)
-    rough_ub = hold_scan(feasible, lat_grid, reverse=True)
+    rough_lb = _hold_from_run_start(feasible, lat_grid, reverse=False)
+    rough_ub = _hold_from_run_start(feasible, lat_grid, reverse=True)
 
     # --- Per-node g increment = getG (:91-105): obstacle + deviation ---
     safety_distance = 5.0

@@ -206,7 +206,8 @@ def stage_geometry(gm: maps.GridMap, scs: Scenario, xs2, ys2, cor, l_post,
         ey = splines.evaluate(ys3, length3)
         eh = splines.heading(xs3, ys3, length3)
         local_tx, _, _ = global_to_local(ex, ey, eh, sc.target_x, sc.target_y)
-        proj_s = splines.project(xs3, ys3, sc.target_x, sc.target_y, length3)
+        proj_s = splines.project(xs3, ys3, sc.target_x, sc.target_y, length3,
+                                 iters=cfg.newton_iters)
         length3 = jnp.where(local_tx > 0.0, length3, proj_s)
 
         # Resample at output spacing (buildReferenceFromSpline).

@@ -316,7 +316,7 @@ def project_newton(xs: CubicSpline, ys: CubicSpline, tx, ty, max_s, hint_s,
 
 
 def project(xs: CubicSpline, ys: CubicSpline, tx, ty, max_s, start_s=0.0,
-            grid: float = 1.0, max_grid_points: int = 256):
+            grid: float = 1.0, max_grid_points: int = 256, iters: int = 20):
     """Grid pre-scan at `grid` spacing followed by Newton refinement
     (reference: getProjection, tools.cpp:66-96). Fixed-shape: scans
     ``max_grid_points`` candidates masked to [start_s, max_s]."""
@@ -327,7 +327,7 @@ def project(xs: CubicSpline, ys: CubicSpline, tx, ty, max_s, start_s=0.0,
     d2 = (cx - tx) ** 2 + (cy - ty) ** 2
     d2 = jnp.where(valid, d2, jnp.inf)
     best = cand[jnp.argmin(d2)]
-    return project_newton(xs, ys, tx, ty, max_s, best)
+    return project_newton(xs, ys, tx, ty, max_s, best, iters=iters)
 
 
 def project_directional(xs: CubicSpline, ys: CubicSpline, tx, ty, angle,
