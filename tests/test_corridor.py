@@ -94,3 +94,33 @@ def test_pipeline_with_astar(blocky_map):
     zone = (x >= -5.5) & (x <= 0.5)
     assert zone.any()
     assert y[zone].max() < -0.9
+
+
+def test_hold_from_run_start_matches_scan_semantics():
+    """The cummax run-start hold must reproduce the reference's
+    nearest-infeasible-neighbor scan (reference_path_smoother.cpp:210-226)
+    on random feasibility patterns: infeasible entries keep their own value,
+    feasible entries take the value at the start of their contiguous run."""
+    from tpu_pathopt.corridor import _hold_from_run_start
+    rng = np.random.default_rng(11)
+    for _ in range(20):
+        L, K = 5, 17
+        feas = rng.random((L, K)) < 0.6
+        vals = rng.standard_normal((L, K)).astype(np.float32)
+
+        def brute(reverse):
+            f = feas[:, ::-1] if reverse else feas
+            v = vals[:, ::-1] if reverse else vals
+            out = np.empty_like(v)
+            for i in range(L):
+                for k in range(K):
+                    j = k
+                    while j > 0 and f[i, j] and f[i, j - 1]:
+                        j -= 1
+                    out[i, k] = v[i, j]
+            return out[:, ::-1] if reverse else out
+
+        for reverse in (False, True):
+            got = np.asarray(_hold_from_run_start(
+                jnp.asarray(feas), jnp.asarray(vals), reverse))
+            np.testing.assert_array_equal(got, brute(reverse))
