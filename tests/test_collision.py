@@ -61,3 +61,43 @@ def test_batched_shapes():
     hs = jnp.zeros((3, 4))
     out = collision.is_state_collision_free_improved(gm, car, xs, ys, hs)
     assert out.shape == (3, 4)
+
+
+def test_box_distance_inside_outside_rotated():
+    """Box/distanceTo semantics (declared at data_struct.hpp:34-53 but never
+    implemented in the reference; working semantics provided here)."""
+    from tpu_pathopt.collision import box_distance_to, make_box
+    box = make_box(2.0, 1.0, np.pi / 2, 4.0, 2.0)   # long axis along +y
+    # Center and a point well inside.
+    assert float(box_distance_to(box, 2.0, 1.0)) == 0.0
+    assert float(box_distance_to(box, 2.5, 2.5)) == 0.0
+    # 1 m beyond the +length face (which points along +y).
+    np.testing.assert_allclose(float(box_distance_to(box, 2.0, 4.0)), 1.0,
+                               atol=1e-6)
+    # 0.5 m beyond the width face (along +x).
+    np.testing.assert_allclose(float(box_distance_to(box, 3.5, 1.0)), 0.5,
+                               atol=1e-6)
+    # Corner region: diagonal distance.
+    np.testing.assert_allclose(float(box_distance_to(box, 3.5, 3.5)),
+                               np.hypot(0.5, 0.5), atol=1e-6)
+
+
+def test_box_by_circles_covers_box():
+    from tpu_pathopt.collision import (box_by_circles, box_distance_to,
+                                       make_box, BOX_DIR_LEFT)
+    box = make_box(-1.0, 3.0, 0.7, 4.9, 2.0, is_left=True)
+    assert int(box.dir) == BOX_DIR_LEFT
+    centers, radii = box_by_circles(box)
+    assert centers.shape == (6, 2) and radii.shape == (6,)
+    # Every random point inside the box lies inside >= 1 circle.
+    rng = np.random.default_rng(3)
+    lx = rng.uniform(-2.45, 2.45, 500)
+    ly = rng.uniform(-1.0, 1.0, 500)
+    c, s = np.cos(0.7), np.sin(0.7)
+    px = -1.0 + c * lx - s * ly
+    py = 3.0 + s * lx + c * ly
+    assert np.all(np.asarray(box_distance_to(box, jnp.asarray(px),
+                                             jnp.asarray(py))) == 0.0)
+    d = np.hypot(px[:, None] - np.asarray(centers)[None, :, 0],
+                 py[:, None] - np.asarray(centers)[None, :, 1])
+    assert np.all((d <= np.asarray(radii)[None, :] + 1e-5).any(axis=1))

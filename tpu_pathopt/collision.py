@@ -107,3 +107,68 @@ def path_collision_free(gm: maps.GridMap, car: CarGeometry, result):
     mask = result.mask
     n = jnp.maximum(jnp.sum(mask.astype(jnp.int32)), 1)
     return jnp.sum((free & mask).astype(jnp.int32)) / n
+
+
+# ---------------------------------------------------------------------------
+# Box / BoxByCircles (reference: include/data_struct/data_struct.hpp:34-72).
+# The reference DECLARES these classes but their method bodies are absent
+# from the repository (Box::Box / Box::distanceTo / BoxByCircles::BoxByCircles
+# are never defined; calling them would fail to link). The API surface is
+# reproduced here with working semantics: distanceTo is the Euclidean
+# distance from a point to the oriented box (0 inside), and the circle
+# decomposition follows the covering scheme CarGeometry uses for the vehicle
+# footprint (car_geometry.cpp:38-57) generalized to an arbitrary box.
+# ---------------------------------------------------------------------------
+
+BOX_DIR_UNKNOWN, BOX_DIR_LEFT, BOX_DIR_RIGHT = 0, 1, 2
+
+
+@flax.struct.dataclass
+class Box:
+    """Oriented box: center pose + size + passing-side tag
+    (data_struct.hpp:34-53; Dir LEFT/RIGHT/UNKNOWN)."""
+
+    x: jax.Array
+    y: jax.Array
+    heading: jax.Array
+    length: jax.Array
+    width: jax.Array
+    dir: jax.Array          # () int32 — BOX_DIR_*
+
+
+def make_box(x, y, heading, length, width, is_left=None) -> Box:
+    """The two reference constructors (data_struct.hpp:38-39): without
+    ``is_left`` the passing side is UNKNOWN."""
+    d = BOX_DIR_UNKNOWN if is_left is None else (
+        BOX_DIR_LEFT if is_left else BOX_DIR_RIGHT)
+    f = lambda v: jnp.asarray(v, jnp.float32)
+    return Box(x=f(x), y=f(y), heading=f(heading), length=f(length),
+               width=f(width), dir=jnp.asarray(d, jnp.int32))
+
+
+def box_distance_to(box: Box, px, py):
+    """Euclidean distance from point(s) to the box (0 inside) — the declared
+    ``Box::distanceTo`` (data_struct.hpp:46). Vectorized over any leading
+    shape of (px, py)."""
+    from tpu_pathopt.geometry import global_to_local
+    lx, ly, _ = global_to_local(box.x, box.y, box.heading,
+                                jnp.asarray(px), jnp.asarray(py))
+    dx = jnp.maximum(jnp.abs(lx) - 0.5 * box.length, 0.0)
+    dy = jnp.maximum(jnp.abs(ly) - 0.5 * box.width, 0.0)
+    return jnp.hypot(dx, dy)
+
+
+def box_by_circles(box: Box, n_circles: int = 6):
+    """Cover the box with ``n_circles`` equal circles along its major axis
+    (the declared ``BoxByCircles`` container, data_struct.hpp:63-72).
+    Returns (centers (C, 2) global, radii (C,)); every point of the box is
+    inside at least one circle (radius = half diagonal of a length/C x width
+    slice). Static circle count — fixed shapes for batching."""
+    step = box.length / n_circles
+    offs = (jnp.arange(n_circles, dtype=jnp.float32) + 0.5) * step \
+        - 0.5 * box.length
+    r = 0.5 * jnp.hypot(step, box.width)
+    gx, gy, _ = local_to_global(box.x, box.y, box.heading,
+                                offs, jnp.zeros_like(offs))
+    centers = jnp.stack([gx, gy], axis=-1)
+    return centers, jnp.broadcast_to(r, (n_circles,))
