@@ -62,9 +62,10 @@ def test_astar_matches_dp_on_free_map():
     mask[:, np.abs(yy) >= 12.0] = True
     gm = maps.build_map(jnp.asarray(mask), resolution=res)
     xs, ys, length = _straight_ref()
-    cor_a = corridor.search_corridor_astar(gm, xs, ys, length,
-                                           -25.0, 0.0, 0.0, CFG)
-    cor_d = corridor.search_corridor(gm, xs, ys, length, -25.0, 0.0, 0.0, CFG)
+    cor_a = jax.jit(corridor.search_corridor_astar, static_argnums=7)(
+        gm, xs, ys, length, -25.0, 0.0, 0.0, CFG)
+    cor_d = jax.jit(corridor.search_corridor, static_argnums=7)(
+        gm, xs, ys, length, -25.0, 0.0, 0.0, CFG)
     na, nd = int(cor_a.n_layers), int(cor_d.n_layers)
     assert na == nd
     # Expansion thresholds differ slightly (1.2/1.3 half-width vs the DP
@@ -86,7 +87,7 @@ def test_pipeline_with_astar(blocky_map):
         start_heading=jnp.asarray(0.0), start_k=jnp.asarray(0.0),
         target_x=jnp.asarray(25.0), target_y=jnp.asarray(0.0),
         target_heading=jnp.asarray(0.0))
-    out = pipeline.solve(blocky_map, sc, cfg)
+    out = pipeline.solve_jit(blocky_map, sc, cfg)
     assert bool(out.ok)
     nv = int(out.n_valid)
     x = np.asarray(out.x)[:nv]

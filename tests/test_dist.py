@@ -45,7 +45,7 @@ def test_sharded_solve_matches_local():
     mesh = dist.make_mesh(jax.devices()[:8])
     res_sh, stats = dist.solve_sharded(gm, scs, TINY, mesh, ST)
     assert int(stats.n_total) == 16
-    res_local = pipeline.solve_batch(gm, scs, TINY, ST)
+    res_local = pipeline.solve_batch_jit(gm, scs, TINY, ST)
     assert int(stats.n_ok) == int(jnp.sum(res_local.ok.astype(jnp.int32)))
     nv = np.asarray(res_local.n_valid)
     np.testing.assert_array_equal(np.asarray(res_sh.n_valid), nv)
@@ -75,7 +75,7 @@ def test_streamed_solve_accumulates_fleet_stats():
         consume=lambda r: consumed.append(np.asarray(r.ok)))
     assert int(total.n_total) == 48
     assert len(consumed) == 3
-    res_local = pipeline.solve_batch(gm, scs, TINY, ST)
+    res_local = pipeline.solve_batch_jit(gm, scs, TINY, ST)
     assert int(total.n_ok) == 3 * int(jnp.sum(res_local.ok.astype(jnp.int32)))
     assert sps > 0
 
@@ -101,7 +101,7 @@ def test_make_global_batch_single_process_roundtrip():
     gm_g, scs_g = dist.make_global_batch(gm, scs, mesh)
     res_sh, stats = dist.solve_sharded(gm_g, scs_g, TINY, mesh, ST)
     assert int(stats.n_total) == 16
-    res_local = pipeline.solve_batch(gm, scs, TINY, ST)
+    res_local = pipeline.solve_batch_jit(gm, scs, TINY, ST)
     np.testing.assert_allclose(np.asarray(res_sh.l), np.asarray(res_local.l),
                                atol=5e-3)
 
@@ -115,7 +115,7 @@ def test_sharded_solve_pads_non_divisible_batch():
     res_sh, stats = dist.solve_sharded(gm, scs, TINY, mesh, ST)
     assert int(stats.n_total) == 13
     assert res_sh.ok.shape[0] == 13
-    res_local = pipeline.solve_batch(gm, scs, TINY, ST)
+    res_local = pipeline.solve_batch_jit(gm, scs, TINY, ST)
     assert int(stats.n_ok) == int(jnp.sum(res_local.ok.astype(jnp.int32)))
     np.testing.assert_allclose(np.asarray(res_sh.l), np.asarray(res_local.l),
                                atol=5e-3)

@@ -39,7 +39,7 @@ def _scenario(start=(-25.0, 0.0, 0.0), target=(25.0, 0.0, 0.0)):
 
 @pytest.fixture(scope="module")
 def solved(corridor_map):
-    return pipeline.solve(corridor_map, _scenario(), CFG)
+    return pipeline.solve_jit(corridor_map, _scenario(), CFG)
 
 
 def test_pipeline_succeeds(solved):
@@ -79,7 +79,7 @@ def test_blocked_scenario_truncates(corridor_map):
     mask[:, np.abs(yy) >= 12.0] = True
     mask[np.abs(xx - 10.0) < 0.5, :] = True     # full wall at x = 10
     gm = maps.build_map(jnp.asarray(mask), resolution=res)
-    res_p = pipeline.solve(gm, _scenario(), CFG)
+    res_p = pipeline.solve_jit(gm, _scenario(), CFG)
     # DP cannot pass the wall either, so the candidate path ends before it.
     nv = int(res_p.n_valid)
     assert nv > 5
@@ -91,9 +91,9 @@ def test_batch_matches_single(corridor_map):
     starts = [(-25.0, 0.0, 0.0), (-25.0, 2.0, 0.1)]
     scs = [_scenario(start=st) for st in starts]
     batch = jax.tree.map(lambda *xs: jnp.stack(xs), *scs)
-    out = pipeline.solve_batch(corridor_map, batch, CFG)
+    out = pipeline.solve_batch_jit(corridor_map, batch, CFG)
     assert bool(jnp.all(out.ok))
-    single0 = pipeline.solve(corridor_map, scs[0], CFG)
+    single0 = pipeline.solve_jit(corridor_map, scs[0], CFG)
     nv = int(single0.n_valid)
     # vmapped and single compilations reassociate float reductions and ADMM
     # stops at tolerance, so agreement is only to the solver eps (2e-3).

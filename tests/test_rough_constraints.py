@@ -25,7 +25,7 @@ def test_pipeline_rough_constraints_far_away():
         target_x=jnp.asarray(25.0), target_y=jnp.asarray(0.0),
         target_heading=jnp.asarray(0.0))
     cfg = PlannerConfig(rough_constraints_far_away=True)
-    out = pipeline.solve(gm, sc, cfg)
+    out = pipeline.solve_jit(gm, sc, cfg)
     assert bool(out.ok)
     nv = int(out.n_valid)
     x = np.asarray(out.x)[:nv]
