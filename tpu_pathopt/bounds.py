@@ -15,7 +15,6 @@ batch axis.
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 from tpu_pathopt import maps, splines
