@@ -55,3 +55,45 @@ def test_cli_failure_dumps_bounds(tmp_path, capsys):
     assert "solve: ok=False" in text
     assert "bounds dump:" in text
     assert "init=False" in text
+
+
+def test_viz_draws_corridor_and_footprints(tmp_path):
+    """The demo's debugging surface (demo.cpp:213-375): the rendered PNG
+    carries the per-knot front/rear bound endpoints, vehicle rectangles and
+    (for a dead-end) the blocked marker — not just the path."""
+    import jax.numpy as jnp
+    import numpy as np
+    from tpu_pathopt import maps, pipeline, viz
+    from tpu_pathopt.config import PlannerConfig
+
+    cfg = PlannerConfig(n_knots=64, n_segment_points=32, dp_layers=24,
+                        bspline_samples=64, qp_max_iter=1000)
+    res, size = 0.4, 100
+    mask = np.zeros((size, size), bool)
+    yy = (0.5 * size - 0.5 - np.arange(size)) * res
+    xx = (0.5 * size - 0.5 - np.arange(size)) * res
+    mask[:, np.abs(yy) >= 6.0] = True
+    gm_open = maps.build_map(jnp.asarray(mask), resolution=res)
+    # Same map with a dead-end wall across the corridor.
+    mask_wall = mask.copy()
+    mask_wall[np.ix_((xx >= 4) & (xx <= 6), np.abs(yy) < 6.0)] = True
+    gm_wall = maps.build_map(jnp.asarray(mask_wall), resolution=res)
+
+    sc = cli.demo_scenario(
+        [(-15, 0), (-10, 0), (-5, 0), (0, 0), (5, 0), (10, 0), (15, 0)],
+        (-15.0, 0.0, 0.0), (15.0, 0.0, 0.0))
+
+    res_open = pipeline.solve_jit(gm_open, sc, cfg)
+    assert bool(res_open.ok)
+    # The bounds carry the axle-anchor geometry the corridor is drawn from.
+    assert res_open.bounds.front_x is not None
+    assert res_open.bounds.heading.shape == res_open.bounds.front_lb.shape
+    out = tmp_path / "corridor.png"
+    viz.plot_result(gm_open, res_open, sc, path_out=str(out), config=cfg)
+    assert out.exists() and out.stat().st_size > 0
+
+    res_blocked = pipeline.solve_jit(gm_wall, sc, cfg)
+    assert bool(res_blocked.blocked)
+    out2 = tmp_path / "blocked.png"
+    viz.plot_result(gm_wall, res_blocked, sc, path_out=str(out2), config=cfg)
+    assert out2.exists() and out2.stat().st_size > 0

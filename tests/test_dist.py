@@ -92,6 +92,12 @@ def test_measure_scaling_reports_efficiency():
     assert sc["n_devices"] == 8
     assert sc["solves_per_s_1dev"] > 0 and sc["solves_per_s_full"] > 0
     assert sc["scaling_efficiency"] > 0
+    # Matched-per-device design: per-device rates and the directly measured
+    # collective price must be reported alongside the machine-total ratio.
+    assert sc["per_dev_solves_per_s_1dev"] == sc["solves_per_s_1dev"]
+    assert sc["per_dev_solves_per_s_full"] == sc["solves_per_s_full"] / 8
+    assert sc["machine_ratio_full_vs_1dev"] > 0
+    assert "collective_overhead_frac" in sc
 
 
 @pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")

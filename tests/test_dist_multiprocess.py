@@ -29,9 +29,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp
 import numpy as np
+from bench import enable_compilation_cache
 from tpu_pathopt import dist, maps, pipeline
 from tpu_pathopt.config import PlannerConfig
 from tpu_pathopt.qp.admm import QPSettings
+
+enable_compilation_cache()
 
 n = dist.init_distributed(f"localhost:{port}", num_processes=nproc,
                           process_id=pid)
@@ -102,6 +105,21 @@ out.update(un_n_total=int(stats2.n_total), un_n_ok=int(stats2.n_ok),
            un_valid_local=un_valid_local,
            un_batch_padded=int(res2.ok.shape[0]),
            st_n_total=int(total.n_total), st_n_ok=int(total.n_ok))
+
+# --- Flagship shapes (n_knots=128, default DP lattice — the production
+# program the TPU bench runs) across the real OS-process boundary. Only the
+# ADMM iteration cap is reduced, as in __graft_entry__.dryrun_multichip; the
+# persistent compilation cache makes repeats cost seconds. ---
+cfg_f = PlannerConfig(qp_max_iter=200)
+st_f = QPSettings(max_iter=200)
+offs_f = np.linspace(-0.5, 0.5, 8).astype(np.float32)
+scs_f = jax.vmap(make)(jnp.asarray(offs_f[pid * 4:pid * 4 + 4]))
+gm_gf, scs_gf = dist.make_global_batch(gm, scs_f, mesh)
+res_f, stats_f = dist.solve_sharded(gm_gf, scs_gf, cfg_f, mesh, st_f)
+nv_f = [int(v) for s in res_f.n_valid.addressable_shards
+        for v in np.asarray(s.data).reshape(-1)]
+out.update(f_n_total=int(stats_f.n_total), f_n_ok=int(stats_f.n_ok),
+           f_mean_iters=float(stats_f.mean_qp_iters), f_nv=nv_f)
 with open(os.path.join(outdir, f"worker{pid}.json"), "w") as f:
     json.dump(out, f)
 """
@@ -127,7 +145,7 @@ def test_two_process_sharded_solve(tmp_path):
         [sys.executable, str(worker), str(pid), "2", str(port), str(tmp_path)],
         env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE)
         for pid in range(2)]
-    outs = [p.communicate(timeout=600) for p in procs]
+    outs = [p.communicate(timeout=1500) for p in procs]
     for p, (so, se) in zip(procs, outs):
         assert p.returncode == 0, se.decode()[-3000:]
 
@@ -136,9 +154,18 @@ def test_two_process_sharded_solve(tmp_path):
 
     # Replicated fleet stats identical across processes.
     for key in ("n_total", "n_ok", "n_blocked", "mean_qp_iters",
-                "un_n_total", "un_n_ok", "st_n_total", "st_n_ok"):
+                "un_n_total", "un_n_ok", "st_n_total", "st_n_ok",
+                "f_n_total", "f_n_ok", "f_mean_iters"):
         assert w0[key] == w1[key], key
     assert w0["n_total"] == 16
+
+    # Flagship shapes (n_knots=128, default DP lattice): the production
+    # program executed across the OS-process boundary — all 8 scenarios
+    # solved, full horizons, psum stats agreeing between hosts.
+    assert w0["f_n_total"] == 8
+    assert w0["f_n_ok"] == 8
+    assert len(w0["f_nv"]) == 4 and len(w1["f_nv"]) == 4
+    assert all(nv > 64 for nv in w0["f_nv"] + w1["f_nv"])
 
     # Uneven shards: 5 + 3 real scenarios, padded to 8 per process (local
     # device count 4), stats count only the real 8; the 2-batch stream

@@ -58,6 +58,12 @@ def _make_cfg(**kw):
 
 CONFIGS = {
     "tension": (dict(smoothing_method="TENSION"), "straight"),
+    # cartesian_deviation_weight is a LIVE reference flag (planning_flags.
+    # cpp:44, default 0): nonzero it makes the TENSION d-channel carry cost,
+    # so the smoothing optimum is unique and pointwise parity is well-posed
+    # (the w_dev=0 route below can only assert envelopes).
+    "tension_dev": (dict(smoothing_method="TENSION",
+                         cartesian_deviation_weight=0.5), "scurve"),
     "astar": (dict(corridor_method="ASTAR"), "scurve"),
     "rough": (dict(rough_constraints_far_away=True), "long"),
 }
@@ -224,6 +230,34 @@ def test_tension_route_parity(results, maps_pair):
     cost = lambda x: 0.5 * x @ P @ x + q @ x
     # Zero-gradient problem: optimal cost is tiny; compare absolutely.
     assert cost(v) <= cost(opt.x) + 5e-2
+
+    _qp_optimality(stages, o, cfg, route)
+
+
+def test_tension_unique_optimum_pointwise_parity(results):
+    """TENSION with cartesian_deviation_weight = 0.5: the d-channel carries
+    cost, so the smoothing QP has a unique optimum and the smoothed line can
+    be compared POINTWISE against the float64 oracle (no 0.15 m envelopes) —
+    the reference-tolerance check the w_dev=0 route structurally cannot do
+    (tension_smoother.cpp:102-126; planning_flags.cpp:44)."""
+    stages, o, cfg, route = results["tension_dev"]
+    prep_out, smooth_out, cor, l_post, geo_out, sol1, sol2, outs = stages
+    _common_asserts(stages, o, init_tol=2e-2, heading_tol=2e-2)
+
+    n_seg = int(prep_out[6][0])
+    assert n_seg == o["seg"]["n"]
+    x2 = np.float64(smooth_out[0][0][:n_seg])
+    y2 = np.float64(smooth_out[1][0][:n_seg])
+    assert np.max(np.abs(x2 - o["smooth"]["x"])) < 0.05
+    assert np.max(np.abs(y2 - o["smooth"]["y"])) < 0.05
+    # d recovered in the segmented frame must match too (the QP's own
+    # variable layout, tension_smoother.cpp:143-156).
+    th = o["seg"]["angle"] + np.pi / 2
+    d_pipe = ((x2 - o["seg"]["x"]) * np.cos(th)
+              + (y2 - o["seg"]["y"]) * np.sin(th))
+    d_orac = ((o["smooth"]["x"] - o["seg"]["x"]) * np.cos(th)
+              + (o["smooth"]["y"] - o["seg"]["y"]) * np.sin(th))
+    assert np.max(np.abs(d_pipe - d_orac)) < 0.05
 
     _qp_optimality(stages, o, cfg, route)
 

@@ -184,6 +184,11 @@ def _update_bounds_impl(gm, xs, ys, ref: RefStates, front_len, rear_len,
             xs, ys, cx, cy, normal, proj_s)
         r_alt = splines.directional_ray_residual(
             xs, ys, cx, cy, normal, alt_s)
+        # A diverged Newton can return NaN; NaN comparisons are False, which
+        # would keep the bad Newton result — map non-finite residuals to +inf
+        # so the prescan rescue actually fires on the case it exists for.
+        r_newton = jnp.where(jnp.isfinite(r_newton), r_newton, jnp.inf)
+        r_alt = jnp.where(jnp.isfinite(r_alt), r_alt, jnp.inf)
         proj_s = jnp.where(r_alt < r_newton, alt_s, proj_s)
     px = splines.evaluate(xs, proj_s)
     py = splines.evaluate(ys, proj_s)
@@ -218,4 +223,6 @@ def _update_bounds_impl(gm, xs, ys, ref: RefStates, front_len, rear_len,
         front_lb=front_lb, front_ub=front_ub,
         rear_lb=rear_lb, rear_ub=rear_ub,
         center_lb=center_lb, center_ub=center_ub,
-        blocked=any_blocked, n_valid=n_valid.astype(jnp.int32))
+        blocked=any_blocked, n_valid=n_valid.astype(jnp.int32),
+        front_x=cx[0], front_y=cy[0], rear_x=cx[1], rear_y=cy[1],
+        heading=ref.heading)

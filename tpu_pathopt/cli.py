@@ -144,7 +144,7 @@ def main(argv=None):
     if nv:
         k = np.abs(np.asarray(result.k)[:nv]).max()
         print(f"max |curvature| {k:.4f} (limit {cfg.kappa_limit:.4f})")
-    out = viz.plot_result(gm, result, sc, path_out=args.out)
+    out = viz.plot_result(gm, result, sc, path_out=args.out, config=cfg)
     print(f"wrote {out}")
 
     if args.batch:

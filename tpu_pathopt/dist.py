@@ -86,32 +86,42 @@ def pad_batch(scenarios: pipeline.Scenario, multiple: int):
 
 
 @functools.lru_cache(maxsize=16)
-def _sharded_solver(mesh: Mesh, config: PlannerConfig, settings: QPSettings):
+def _sharded_solver(mesh: Mesh, config: PlannerConfig, settings: QPSettings,
+                    with_stats: bool = True):
     """Build (and cache) the jitted sharded solve for one (mesh, config,
     settings). Caching the jit wrapper is essential: a fresh ``@jax.jit``
     closure per call would retrace AND recompile the full pipeline on every
     ``solve_sharded`` call — streaming would pay the whole compile per batch.
     """
     # The jit wrapper is essential: an un-jitted shard_map evaluates its body
-    # eagerly per shard. check_vma is OFF: on real TPU hardware the varying-
-    # axes checker reaches into the Pallas round kernels' in-kernel fori_loop
-    # carries and reports a carry-type mismatch the surrounding program
-    # cannot fix (the kernel jaxpr's ref loads/stores do not thread vma), so
-    # the sharded solve fails to trace with the fused kernels enabled. The
-    # body is per-shard except the explicit psum/pmax stats below; the engine
-    # still types its scan/while carries from problem data
-    # (jaxutil.with_vma_of) so the checker can be re-enabled once Pallas
-    # carries vma through.
+    # eagerly per shard. check_vma is scoped to the one known blocker: on
+    # real TPU hardware the varying-axes checker reaches into the Pallas
+    # round kernels' in-kernel fori_loop carries and reports a carry-type
+    # mismatch the surrounding program cannot fix (the kernel jaxpr's ref
+    # loads/stores do not thread vma), so the checker must be OFF exactly
+    # when the fused kernels engage (TPU backend + fused_rounds). Everywhere
+    # else (CPU virtual meshes, fused_rounds=False) it stays ON to guard
+    # future collectives; the engine types its scan/while carries from
+    # problem data (jaxutil.with_vma_of) to satisfy it. Re-unify once Pallas
+    # threads vma through kernel carries.
+    fused_engaged = (settings.fused_rounds
+                     and jax.default_backend() in ("tpu", "axon"))
+
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=False,
+        check_vma=not fused_engaged,
         in_specs=(P(), P("scenarios"), P("scenarios")),
-        out_specs=(P("scenarios"), P()),
+        out_specs=(P("scenarios"), P()) if with_stats else P("scenarios"),
     )
     def _run(gm_rep, scs, valid):
         res = pipeline.solve_batch(gm_rep, scs, config, settings)
+        if not with_stats:
+            # Collective-free variant: identical per-shard program minus the
+            # psum/pmax fleet reductions — used by measure_scaling to price
+            # the collectives directly.
+            return res
         vi = valid.astype(jnp.int32)
         n_total = jax.lax.psum(jnp.sum(vi), "scenarios")
         n_ok = jax.lax.psum(jnp.sum(res.ok.astype(jnp.int32) * vi),
@@ -179,11 +189,16 @@ def make_global_batch(gm: maps.GridMap, local_scenarios: pipeline.Scenario,
         from jax.experimental import multihost_utils
         B_local = int(jax.tree_util.tree_leaves(local_scenarios.n_raw)[0]
                       .shape[0])
-        all_b = np.asarray(multihost_utils.process_allgather(
-            np.asarray([B_local], np.int32))).reshape(-1)
         n_local_dev = sum(1 for d in mesh.devices.flat
                           if d.process_index == jax.process_index())
-        B_pad = -(-int(all_b.max()) // n_local_dev) * n_local_dev
+        # Allgather (batch, device count) pairs: with heterogeneous
+        # per-process device counts every process must pad to the SAME
+        # rows-per-device (the sharding is even across devices), so the
+        # fleet-wide pad unit is max over processes of ceil(B_p / ndev_p).
+        all_bd = np.asarray(multihost_utils.process_allgather(
+            np.asarray([B_local, n_local_dev], np.int32))).reshape(-1, 2)
+        per_dev = int(np.max(-(-all_bd[:, 0] // np.maximum(all_bd[:, 1], 1))))
+        B_pad = per_dev * n_local_dev
 
         def pad(a):
             a = np.asarray(a)
@@ -264,30 +279,58 @@ def solve_streamed(gm: maps.GridMap, scenario_batches, config: PlannerConfig,
 
 def measure_scaling(gm: maps.GridMap, make_batch, config: PlannerConfig,
                     settings: QPSettings = QPSettings(), devices=None,
-                    per_shard: int = 2, reps: int = 3):
-    """Weak-scaling efficiency of the sharded solve, 1 device vs all.
+                    per_shard: int = 8, reps: int = 3):
+    """Weak-scaling measurement of the sharded solve, 1 device vs all, with a
+    MATCHED per-device batch so batch-size amortization cannot confound the
+    ratio: the 1-device mesh solves ``per_shard`` scenarios, the full mesh
+    solves ``per_shard`` scenarios PER DEVICE (same per-shard program, same
+    shapes — one compile serves both runs).
 
-    ``make_batch(b)`` builds a ``b``-scenario batch. Runs ``per_shard``
-    scenarios per device on a 1-device mesh and on the full mesh, timing
-    ``reps`` executions after a warmup; efficiency = solves/s(full mesh) /
-    (n_devices * solves/s(1 device)) — the BASELINE.md >= 80% scaling target
-    is measured exactly this way. Returns a dict of the numbers.
+    Reported numbers:
+
+    - ``per_dev_solves_per_s_{1dev,full}``: throughput divided by device
+      count — the weak-scaling series. ``scaling_efficiency`` is their ratio
+      (the BASELINE.md >= 0.8 target on real multi-chip hardware, where each
+      device owns its compute).
+    - ``collective_overhead_frac``: directly measured price of the psum/pmax
+      fleet reductions — the same full-mesh solve with and without the
+      collectives, (t_with - t_without) / t_without.
+    - ``machine_ratio_full_vs_1dev``: total full-mesh throughput over total
+      1-device throughput. On a VIRTUAL mesh (n CPU "devices" oversubscribing
+      the same physical cores, where one device's XLA already uses every core
+      via intra-op threads) per-device efficiency is capped near 1/n by the
+      hardware, and THIS ratio is the meaningful signal instead: ~1.0 means
+      the sharded program runs at the machine ceiling with no sharding
+      overhead.
     """
     devices = jax.devices() if devices is None else devices
     n_dev = len(devices)
 
-    def timed(mesh, batch):
+    def timed(mesh, batch, with_stats=True):
         scs = make_batch(batch)
-        res, _ = solve_sharded(gm, scs, config, mesh, settings)   # warm/comp
-        jax.block_until_ready(res.x)
+        scs, valid, _ = pad_batch(scs, int(np.prod(mesh.devices.shape)))
+        run = _sharded_solver(mesh, config, settings, with_stats)
+        res = run(gm, scs, valid)      # warm/compile
+        jax.block_until_ready(res)
         t0 = time.time()
         for _ in range(reps):
-            res, _ = solve_sharded(gm, scs, config, mesh, settings)
-            jax.block_until_ready(res.x)
+            res = run(gm, scs, valid)
+            jax.block_until_ready(res)
         return batch * reps / (time.time() - t0)
 
-    sps_1 = timed(make_mesh(devices[:1]), per_shard)
-    sps_n = timed(make_mesh(devices), per_shard * n_dev)
-    eff = sps_n / (n_dev * sps_1) if sps_1 > 0 else 0.0
-    return {"n_devices": n_dev, "solves_per_s_1dev": sps_1,
-            "solves_per_s_full": sps_n, "scaling_efficiency": eff}
+    mesh1 = make_mesh(devices[:1])
+    mesh_n = make_mesh(devices)
+    sps_1 = timed(mesh1, per_shard)
+    sps_n = timed(mesh_n, per_shard * n_dev)
+    sps_n_nostats = timed(mesh_n, per_shard * n_dev, with_stats=False)
+    per_dev_1 = sps_1
+    per_dev_n = sps_n / n_dev
+    eff = per_dev_n / per_dev_1 if per_dev_1 > 0 else 0.0
+    overhead = (sps_n_nostats / sps_n - 1.0) if sps_n > 0 else 0.0
+    return {"n_devices": n_dev, "per_shard": per_shard,
+            "per_dev_solves_per_s_1dev": per_dev_1,
+            "per_dev_solves_per_s_full": per_dev_n,
+            "solves_per_s_1dev": sps_1, "solves_per_s_full": sps_n,
+            "scaling_efficiency": eff,
+            "collective_overhead_frac": overhead,
+            "machine_ratio_full_vs_1dev": (sps_n / sps_1 if sps_1 else 0.0)}

@@ -53,6 +53,15 @@ class CorridorBounds:
     center_ub: jax.Array
     blocked: jax.Array   # () bool — a zero-width bound truncated the horizon
     n_valid: jax.Array   # () int32 — knots before the blockage
+    # Axle-center geometry the bounds are anchored to (VehicleStateBound
+    # carries x/y/heading per bound, data_struct.hpp:74-93; the demo renders
+    # the bound endpoints as spheres there, demo.cpp:331-375). Optional —
+    # None when a caller assembles bounds without geometry (e.g. oracles).
+    front_x: jax.Array | None = None   # (N,)
+    front_y: jax.Array | None = None
+    rear_x: jax.Array | None = None
+    rear_y: jax.Array | None = None
+    heading: jax.Array | None = None   # (N,) state heading at each knot
 
 
 def build_reference_from_spline(xs: splines.CubicSpline, ys: splines.CubicSpline,

@@ -25,8 +25,50 @@ def _extent(gm):
     return hx, hy
 
 
-def plot_result(gm, result, scenario=None, path_out="path.png", title=None):
-    """Render ESDF + optimized path (+ raw points / start / target)."""
+def _draw_corridor(ax, bounds, nv):
+    """Per-knot front/rear bound endpoints — the demo's bound spheres
+    (demo.cpp:331-375): each bound offset applied along the state normal at
+    its axle center."""
+    if getattr(bounds, "front_x", None) is None:
+        return
+    h = np.asarray(bounds.heading)[:nv]
+    nx, ny = np.cos(h + np.pi / 2), np.sin(h + np.pi / 2)
+    styles = {
+        "front": (bounds.front_x, bounds.front_y,
+                  bounds.front_lb, bounds.front_ub, "tab:orange"),
+        "rear": (bounds.rear_x, bounds.rear_y,
+                 bounds.rear_lb, bounds.rear_ub, "tab:cyan"),
+    }
+    for name, (cx, cy, lb, ub, color) in styles.items():
+        cx = np.asarray(cx)[:nv]
+        cy = np.asarray(cy)[:nv]
+        lb = np.asarray(lb)[:nv]
+        ub = np.asarray(ub)[:nv]
+        ax.plot(cx + ub * nx, cy + ub * ny, ".", color=color, ms=2.5,
+                zorder=2, label=f"{name} bounds")
+        ax.plot(cx + lb * nx, cy + lb * ny, ".", color=color, ms=2.5,
+                zorder=2)
+
+
+def _draw_footprints(ax, x, y, heading, config, every=8):
+    """Vehicle rectangles at intervals along the path (demo.cpp:269-313):
+    the footprint spans [rear_length, front_length] longitudinally from the
+    rear axle and +-car_width/2 laterally."""
+    lf, lr = config.front_length, config.rear_length
+    w2 = config.car_width / 2.0
+    corners = np.asarray([[lf, w2], [lf, -w2], [lr, -w2], [lr, w2], [lf, w2]])
+    for i in range(0, len(x), every):
+        ch, sh = np.cos(heading[i]), np.sin(heading[i])
+        px = x[i] + corners[:, 0] * ch - corners[:, 1] * sh
+        py = y[i] + corners[:, 0] * sh + corners[:, 1] * ch
+        ax.plot(px, py, "-", color="tab:green", lw=0.7, alpha=0.8, zorder=2)
+
+
+def plot_result(gm, result, scenario=None, path_out="path.png", title=None,
+                config=None):
+    """Render ESDF + optimized path (+ raw points / start / target), the
+    per-knot collision corridor, vehicle footprints and the blocked-state
+    marker — the reference demo's full debugging surface (demo.cpp:213-375)."""
     esdf = np.asarray(gm.esdf)[:int(gm.n_rows), :int(gm.n_cols)]
     r, c = esdf.shape
     hx, hy = _extent(gm)
@@ -39,6 +81,15 @@ def plot_result(gm, result, scenario=None, path_out="path.png", title=None):
     x = np.asarray(result.x)[:nv]
     y = np.asarray(result.y)[:nv]
     k = np.asarray(result.k)[:nv]
+    heading = np.asarray(result.heading)[:nv]
+    if getattr(result, "bounds", None) is not None:
+        _draw_corridor(ax, result.bounds, nv)
+    if config is not None and nv:
+        _draw_footprints(ax, x, y, heading, config)
+    if bool(result.blocked) and nv:
+        # Blocked-state marker (demo.cpp:315-329): the horizon was truncated
+        # at the first zero-width corridor.
+        ax.plot(x[-1], y[-1], "rx", ms=14, mew=3, zorder=5, label="BLOCKED")
     sc = ax.scatter(x, y, c=np.abs(k), s=6, cmap="plasma", zorder=3)
     fig.colorbar(sc, ax=ax, label="|curvature| [1/m]", shrink=0.6)
     if scenario is not None:
