@@ -138,10 +138,10 @@ def test_fused_round_non_multiple_batch():
     out = fused_rounds.fused_admm_round(
         geom, lane(Ci), lane(jnp.concatenate([zero_blk, W], 1)),
         lane(qp.t_prev), lane(lb_knot), lane(ub_knot), lane(lb_end),
-        lane(ub_end), lane(rk), lane(re), es_l,
+        lane(ub_end), lane(rk), lane(re), es_l, lane(qp.p_diag),
         lane(v), lane(zk), lane(ze), lane(yk), lane(ye),
         iters=iters, alpha=st.alpha, sigma=st.sigma, interpret=True)
-    for g, r in zip([jnp.moveaxis(o, -1, 0) for o in out], ref):
+    for g, r in zip([jnp.moveaxis(o, -1, 0) for o in out[:5]], ref):
         assert g.shape == r.shape
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=5e-3, rtol=5e-3)
@@ -190,10 +190,27 @@ def test_fused_round_matches_xla_round():
     out = fused_rounds.fused_admm_round(
         geom, lane(Ci), lane(jnp.concatenate([zero_blk, W], 1)),
         lane(qp.t_prev), lane(lb_knot), lane(ub_knot), lane(lb_end),
-        lane(ub_end), lane(rk), lane(re), es_l,
+        lane(ub_end), lane(rk), lane(re), es_l, lane(qp.p_diag),
         lane(v), lane(zk), lane(ze), lane(yk), lane(ye),
         iters=iters, alpha=st.alpha, sigma=st.sigma, interpret=True)
-    got = [jnp.moveaxis(o, -1, 0) for o in out]
+    got = [jnp.moveaxis(o, -1, 0) for o in out[:5]]
     for g, r in zip(got, ref):
         np.testing.assert_allclose(np.asarray(g), np.asarray(r),
                                    atol=5e-3, rtol=5e-3)
+
+    # In-kernel residual scales must match the XLA formulas on the final
+    # iterate (the termination + adaptive-rho inputs, OSQP semantics).
+    vr, zkr, zer, ykr, yer = ref
+    Avk, Ave = jax.vmap(assembly.a_mul)(qp, vr)
+    pv = qp.p_diag * vr
+    Aty = jax.vmap(assembly.at_mul)(qp, ykr, yer)
+    amax = lambda a: jnp.max(jnp.abs(a.reshape(a.shape[0], -1)), axis=-1)
+    inf2 = lambda a, b: jnp.maximum(amax(a), amax(b))
+    want = jnp.stack([
+        inf2(Avk - zkr, Ave - zer),
+        amax(pv + Aty),
+        jnp.maximum(inf2(Avk, Ave), inf2(zkr, zer)),
+        jnp.maximum(amax(pv), amax(Aty)),
+    ], axis=0)
+    np.testing.assert_allclose(np.asarray(out[5]), np.asarray(want),
+                               atol=5e-3, rtol=5e-3)

@@ -257,8 +257,20 @@ def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
     qp2 = jax.vmap(make_qp)(scs, ref, cb, ref_heading_last, init_offset,
                             init_heading_error, n_valid,
                             sol1.v[:, :, 0], sol1.v[:, :, 1], sol1.v[:, :, 2])
-    sol2 = solve_path_qp_batched(qp2, v0=sol1.v, y0_knot=sol1.y_knot,
-                                 y0_end=sol1.y_end, settings=settings)
+    # Difficulty-sorted pass 2: pass-1 iteration counts predict pass-2
+    # difficulty, so grouping scenarios by them concentrates stragglers into
+    # few 128-lane chunks — the chunked solver's per-chunk termination
+    # (path_solver._solve_batched_impl) then stops the easy chunks early
+    # instead of every chunk paying the global straggler tail. A pure
+    # permutation: per-element solver trajectories are unchanged; results
+    # are scattered back in input order.
+    order = jnp.argsort(sol1.iters)
+    inv = jnp.argsort(order)
+    sort_b = lambda t: jax.tree_util.tree_map(lambda a: a[order], t)
+    sol2_s = solve_path_qp_batched(
+        sort_b(qp2), v0=sol1.v[order], y0_knot=sol1.y_knot[order],
+        y0_end=sol1.y_end[order], settings=settings)
+    sol2 = jax.tree_util.tree_map(lambda a: a[inv], sol2_s)
     return sol1, sol2
 
 

@@ -200,9 +200,9 @@ def fused_factor(diag, offp, interpret: bool = False):
 
 
 def _round_kernel(geom_ref, Ci_ref, Wp_ref, tp_ref, lbk_ref, ubk_ref, lbe_ref,
-                  ube_ref, rk_ref, re_ref, es_ref, v_ref, zk_ref, ze_ref,
-                  yk_ref, ye_ref, vo_ref, zko_ref, zeo_ref, yko_ref, yeo_ref,
-                  sweep_ref, rhs_ref,
+                  ube_ref, rk_ref, re_ref, es_ref, pd_ref, v_ref, zk_ref,
+                  ze_ref, yk_ref, ye_ref, vo_ref, zko_ref, zeo_ref, yko_ref,
+                  yeo_ref, res_ref, sweep_ref, rhs_ref,
                   *, iters: int, alpha: float, sigma: float, n: int):
     lf = geom_ref[0, 0]     # front axle arm (collision-row coefficient)
     lr = geom_ref[0, 1]     # rear axle arm
@@ -215,12 +215,8 @@ def _round_kernel(geom_ref, Ci_ref, Wp_ref, tp_ref, lbk_ref, ubk_ref, lbe_ref,
     ube = ube_ref[:]
     es = es_ref[:]          # (N, 1, B) one-hot end-knot selector
 
-    def one_iter(_, state):
-        v, zk, ze, yk, ye = state
-
-        # ---- rhs = sigma v + A^T (rho z - y) (structured at_mul) ----
-        w = rk * zk - yk                                   # (N, 6, B)
-        we = re * ze - ye                                  # (2, B)
+    def atmul(w, we):
+        # A^T [w; we] for (w, we) in the z layout (structured at_mul).
         wt = w[:, 0:3]                                     # transition rows
         wcf = w[:, 4:5]                                    # (N, 1, B)
         wcr = w[:, 5:6]
@@ -234,9 +230,27 @@ def _round_kernel(geom_ref, Ci_ref, Wp_ref, tp_ref, lbk_ref, ubk_ref, lbe_ref,
             [out0, out1, out2, jnp.zeros_like(out0), wcf, wcr], axis=1)
         # out[i] += contrib[i+1] (shift-down add; .at[].add is a scatter,
         # which Mosaic does not lower — use concat instead).
-        out = out + jnp.concatenate(
+        return out + jnp.concatenate(
             [contrib[1:], jnp.zeros_like(contrib[:1])], axis=0)
-        rhs_ref[:] = sigma * v + out
+
+    def amul(vt):
+        # A vt in the z layout (structured a_mul).
+        vt_shift = jnp.concatenate([jnp.zeros_like(vt[:1]), vt[:-1]])
+        ctr = jnp.sum(tp * vt_shift[:, None, :, :], axis=2)  # (N, 3, B)
+        ztk = jnp.concatenate([
+            -vt[:, 0:3] + ctr,
+            vt[:, 2:3],
+            vt[:, 0:1] + lf * vt[:, 1:2] + vt[:, 4:5],
+            vt[:, 0:1] + lr * vt[:, 1:2] + vt[:, 5:6],
+        ], axis=1)                                          # (N, 6, B)
+        zte = jnp.sum(es * vt[:, 0:2], axis=0)              # (2, B)
+        return ztk, zte
+
+    def one_iter(_, state):
+        v, zk, ze, yk, ye = state
+
+        # ---- rhs = sigma v + A^T (rho z - y) ----
+        rhs_ref[:] = sigma * v + atmul(rk * zk - yk, re * ze - ye)
 
         # ---- forward sweep: y_i = Cinv_i (rhs_i - W_i y_{i-1}) ----
         def fwd(i, y_prev):
@@ -261,16 +275,7 @@ def _round_kernel(geom_ref, Ci_ref, Wp_ref, tp_ref, lbk_ref, ubk_ref, lbe_ref,
         jax.lax.fori_loop(0, n, bwd, jnp.zeros_like(rhs_ref[0]))
         vt = sweep_ref[:]                                   # (N, 6, B)
 
-        # ---- a_mul(vt) in the z layout ----
-        vt_shift = jnp.concatenate([jnp.zeros_like(vt[:1]), vt[:-1]])
-        ctr = jnp.sum(tp * vt_shift[:, None, :, :], axis=2)  # (N, 3, B)
-        ztk = jnp.concatenate([
-            -vt[:, 0:3] + ctr,
-            vt[:, 2:3],
-            vt[:, 0:1] + lf * vt[:, 1:2] + vt[:, 4:5],
-            vt[:, 0:1] + lr * vt[:, 1:2] + vt[:, 5:6],
-        ], axis=1)                                          # (N, 6, B)
-        zte = jnp.sum(es * vt[:, 0:2], axis=0)              # (2, B)
+        ztk, zte = amul(vt)
 
         # ---- relaxed projection + dual update ----
         v_new = alpha * vt + (1 - alpha) * v
@@ -289,6 +294,24 @@ def _round_kernel(geom_ref, Ci_ref, Wp_ref, tp_ref, lbk_ref, ubk_ref, lbe_ref,
     zeo_ref[:] = ze
     yko_ref[:] = yk
     yeo_ref[:] = ye
+
+    # ---- OSQP unscaled residuals on the final iterate, per lane ----
+    # Computed in-kernel so the caller's per-round XLA glue (a_mul/at_mul +
+    # full-array reductions, measured ~2 ms/round at B=256 — more than the
+    # 25 iterations themselves) disappears. Values for already-converged
+    # lanes are discarded by the caller (its conv mask is sticky), so
+    # iterating those lanes here is harmless — identical to the XLA round's
+    # freeze-then-measure semantics.
+    avk, ave = amul(v)
+    aty = atmul(yk, ye)
+    pv = pd_ref[:] * v
+    mk = lambda a: jnp.max(jnp.abs(a), axis=(0, 1))         # (N, 6, B) -> (B,)
+    me = lambda a: jnp.max(jnp.abs(a), axis=0)              # (2, B) -> (B,)
+    res_ref[0] = jnp.maximum(mk(avk - zk), me(ave - ze))    # pri_res
+    res_ref[1] = mk(pv + aty)                               # dua_res
+    res_ref[2] = jnp.maximum(jnp.maximum(mk(avk), me(ave)),
+                             jnp.maximum(mk(zk), me(ze)))   # |Ax| / |z| scale
+    res_ref[3] = jnp.maximum(mk(pv), mk(aty))               # |Px| / |Aty| scale
 
 
 def _structured_round_kernel(Ci_ref, Wp_ref, ac_ref, ap_ref, q_ref, lb_ref,
@@ -402,24 +425,31 @@ def fused_structured_round(Ci, Wp, ac, ap, q, lb, ub, rho, v, z, y,
 
 @functools.partial(
     jax.jit, static_argnames=("iters", "alpha", "sigma", "interpret"))
-def fused_admm_round(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
+def fused_admm_round(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es, pd,
                      v, zk, ze, yk, ye,
                      iters: int, alpha: float, sigma: float,
                      interpret: bool = False):
     """Run ``iters`` ADMM iterations fused in one Pallas call per lane-chunk.
 
     geom: (1, 2) [front_length, rear_length]. All other arrays are
-    lane-major: Ci/Wp (N, 6, 6, B), tp (N, 3, 6, B), lbk/ubk/rk (N, 6, B),
+    lane-major: Ci/Wp (N, 6, 6, B), tp (N, 3, 6, B), lbk/ubk/rk/pd (N, 6, B),
     lbe/ube/re/ze/ye (2, B), es (N, 1, B), v/zk/yk (N, 6, B).
-    Returns updated (v, zk, ze, yk, ye).
+    Returns updated (v, zk, ze, yk, ye, res) where res is (4, B): per-lane
+    [pri_res, dua_res, max(|Av|,|z|), max(|Pv|,|A^T y|)] on the final
+    iterate — everything the caller needs for OSQP termination + adaptive
+    rho without touching the (N, 6, B) arrays in XLA.
     """
     n, _, _, B = Ci.shape
     kern = functools.partial(_round_kernel, iters=iters, alpha=alpha,
                              sigma=sigma, n=n)
 
     def run_chunk(args):
-        geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es, v, zk, ze, yk, ye \
-            = args
+        (geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es, pd,
+         v, zk, ze, yk, ye) = args
+        vma = getattr(jax.typeof(v), "vma", None)
+        res_sds = (jax.ShapeDtypeStruct((4, v.shape[-1]), v.dtype, vma=vma)
+                   if vma else
+                   jax.ShapeDtypeStruct((4, v.shape[-1]), v.dtype))
         return pl.pallas_call(
             kern,
             out_shape=(
@@ -428,32 +458,34 @@ def fused_admm_round(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
                 _sds(ze),
                 _sds(yk),
                 _sds(ye),
+                res_sds,
             ),
             in_specs=[pl.BlockSpec(memory_space=pltpu.SMEM)]
-            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 15,
-            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 5),
+            + [pl.BlockSpec(memory_space=pltpu.VMEM)] * 16,
+            out_specs=tuple([pl.BlockSpec(memory_space=pltpu.VMEM)] * 6),
             scratch_shapes=[
                 pltpu.VMEM((n, 6, v.shape[-1]), v.dtype),   # sweep buffer
                 pltpu.VMEM((n, 6, v.shape[-1]), v.dtype),   # rhs buffer
             ],
             compiler_params=_COMPILER_PARAMS,
             interpret=interpret,
-        )(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es, v, zk, ze, yk, ye)
+        )(geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es, pd,
+          v, zk, ze, yk, ye)
 
     Bp = _padded_lane_count(B, interpret)
     if Bp == B and B <= _MAX_LANES:
         return run_chunk((geom, Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
-                          v, zk, ze, yk, ye))
+                          pd, v, zk, ze, yk, ye))
 
     # Chunk the lane dimension into FULL _MAX_LANES chunks (see
     # _padded_lane_count); a partial batch is edge-replicated up (the padded
     # lanes iterate real numerics and are sliced off).
     padded = tuple(_pad_lanes(a, Bp)
-                   for a in (Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es,
+                   for a in (Ci, Wp, tp, lbk, ubk, lbe, ube, rk, re, es, pd,
                              v, zk, ze, yk, ye))
     outs = []
     for c in range(Bp // _MAX_LANES):
         sl = slice(c * _MAX_LANES, (c + 1) * _MAX_LANES)
         outs.append(run_chunk((geom,) + tuple(a[..., sl] for a in padded)))
     return tuple(jnp.concatenate([o[i] for o in outs], axis=-1)[..., :B]
-                 for i in range(5))
+                 for i in range(6))

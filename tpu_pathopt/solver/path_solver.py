@@ -158,11 +158,12 @@ def solve_path_qp_batched(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
     - the block-Cholesky factors are explicitly inverted once per rho update
       (``btridiag.inv_factors``), so the per-iteration solve scans are
       matvec-only einsums with the whole batch riding the vector lanes;
-    - rho refactorization runs under a batch-global ``lax.cond`` instead of
+    - rho refactorization runs under a chunk-global ``lax.cond`` instead of
       being recomputed every round for every element;
-    - termination is batch-global (all elements converged), with per-element
-      freezing so early finishers don't drift (OSQP warm-start semantics
-      preserved across the two SQP passes, base_solver.cpp:97-117).
+    - termination is per-128-lane-chunk (all lanes of a chunk converged),
+      with per-element freezing so early finishers don't drift (OSQP
+      warm-start semantics preserved across the two SQP passes,
+      base_solver.cpp:97-117) — see ``_solve_batched_impl``.
     """
     with jax.default_matmul_precision("highest"):
         return _solve_batched_impl(qp, v0, y0_knot, y0_end, settings)
@@ -170,6 +171,168 @@ def solve_path_qp_batched(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
 
 def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
                         settings: QPSettings) -> PathQPSolution:
+    """Chunked driver. When the fused kernels engage (TPU backends) and the
+    batch spans several 128-lane chunks, each chunk runs its OWN while_loop
+    (via ``lax.map``), so a chunk whose lanes all converged stops paying
+    rounds for stragglers in other chunks. Per-element trajectories are
+    identical to the batch-global loop (converged lanes are frozen either
+    way); only wasted post-convergence rounds disappear. Callers that sort
+    scenarios by difficulty (pipeline pass 2 sorts by pass-1 iterations)
+    concentrate stragglers into few chunks and harvest the tail."""
+    st = settings
+    B = qp.p_diag.shape[0]
+    # Fused-Pallas rounds only on TPU backends — on CPU the kernels would
+    # run in interpret mode (orders of magnitude slower than the XLA
+    # rounds); kernel parity on CPU is covered by dedicated interpret tests.
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if not (st.fused_rounds and on_tpu):
+        return _solve_chunk_xla(qp, v0, y0_knot, y0_end, settings)
+    ch = 128  # fused_rounds._MAX_LANES — one hardware lane tile per chunk
+    if B <= ch or B % ch != 0:
+        return _solve_chunk_fused(qp, v0, y0_knot, y0_end, settings)
+
+    N = qp.p_diag.shape[1]
+    dtp = qp.p_diag.dtype
+    if v0 is None:
+        v0 = with_vma_of(jnp.zeros((B, N, assembly.NB), dtp), qp)
+    if y0_knot is None:
+        y0_knot = with_vma_of(jnp.zeros((B, N, 6), dtp), qp)
+    if y0_end is None:
+        y0_end = with_vma_of(jnp.zeros((B, 2), dtp), qp)
+    nc = B // ch
+    resh = lambda a: a.reshape((nc, ch) + a.shape[1:])
+    chunked = jax.tree_util.tree_map(resh, (qp, v0, y0_knot, y0_end))
+
+    def run(args):
+        qp_i, v0_i, yk_i, ye_i = args
+        return _solve_chunk_fused(qp_i, v0_i, yk_i, ye_i, settings)
+
+    sol = jax.lax.map(run, chunked)
+    return jax.tree_util.tree_map(
+        lambda a: a.reshape((B,) + a.shape[2:]), sol)
+
+
+def _solve_chunk_fused(qp: PathQP, v0, y0_knot, y0_end,
+                       settings: QPSettings) -> PathQPSolution:
+    """One (<= 128-lane) chunk through the fused Pallas round/factor kernels.
+
+    All loop state is carried LANE-MAJOR ((N, 6, B), batch on the lanes)
+    across the while_loop, and the kernel returns the per-lane residual
+    scales, so the per-round XLA glue reduces to (B,)-shaped termination and
+    adaptive-rho logic — no transposes and no (B, N, 6) traffic between
+    rounds (that glue measured ~2 ms/round at B=256, more than the 25
+    in-kernel iterations themselves)."""
+    from tpu_pathopt.solver import fused_rounds
+    st = settings
+    B, N = qp.p_diag.shape[0], qp.p_diag.shape[1]
+    dt = qp.p_diag.dtype
+    lane = lambda a: jnp.moveaxis(a, 0, -1)
+    unlane = lambda a: jnp.moveaxis(a, -1, 0)
+
+    lb_knot, ub_knot, lb_end, ub_end = jax.vmap(assembly.bounds)(qp)
+    cls_knot, cls_end = jax.vmap(assembly.rho_classes)(qp)
+    a_mul = jax.vmap(assembly.a_mul)
+
+    # Static per-solve constants in kernel layout.
+    geom = qp.coll_coef[:1, 0, :, 1]                       # (1, 2) lf, lr
+    es_l = lane((jnp.arange(N)[None, :]
+                 == qp.end_idx[:, None]).astype(dt))[:, None, :]  # (N, 1, B)
+    tp_l = lane(qp.t_prev)                                 # (N, 3, 6, B)
+    lbk_l, ubk_l = lane(lb_knot), lane(ub_knot)
+    lbe_l, ube_l = lane(lb_end), lane(ub_end)
+    pd_l = lane(qp.p_diag)                                 # (N, 6, B)
+
+    def factor(rho_bar):
+        rk = rho_bar[:, None, None] * cls_knot
+        re = rho_bar[:, None] * cls_end
+        diag, off = jax.vmap(assembly.normal_blocks, in_axes=(0, 0, 0, None))(
+            qp, rk, re, st.sigma)
+        # Lane-major fused factor kernel; W comes back already padded
+        # ((N, 6, 6, B) with W[0] = 0) in the kernel layout.
+        offp = jnp.concatenate([jnp.zeros((B, 1, 6, 6), dt), off], axis=1)
+        Ci_l, Wp_l = fused_rounds.fused_factor(lane(diag), lane(offp))
+        return lane(rk), lane(re), Ci_l, Wp_l
+
+    # Carry inits inherit the vma type of the problem data (check_vma support
+    # under shard_map; jaxutil.with_vma_of).
+    rho_bar0 = with_vma_of(jnp.full((B,), st.rho_bar, dt), qp)
+    rk0, re0, Ci0, W0 = factor(rho_bar0)
+
+    v = (with_vma_of(jnp.zeros((B, N, assembly.NB), dt), qp)
+         if v0 is None else v0)
+    yk = (with_vma_of(jnp.zeros((B, N, 6), dt), qp)
+          if y0_knot is None else y0_knot)
+    ye = (with_vma_of(jnp.zeros((B, 2), dt), qp)
+          if y0_end is None else y0_end)
+    zk, ze = a_mul(qp, v)
+
+    def admm_round(carry):
+        (v, zk, ze, yk, ye, rk, re, Ci, W, rho_bar, it, conv, pri, dua) = carry
+
+        v_n, zk_n, ze_n, yk_n, ye_n, res = fused_rounds.fused_admm_round(
+            geom, Ci, W, tp_l, lbk_l, ubk_l, lbe_l, ube_l, rk, re, es_l,
+            pd_l, v, zk, ze, yk, ye,
+            iters=st.check_every, alpha=st.alpha, sigma=st.sigma)
+        cl = conv[None, None, :]
+        v = jnp.where(cl, v, v_n)
+        zk = jnp.where(cl, zk, zk_n)
+        ze = jnp.where(conv[None, :], ze, ze_n)
+        yk = jnp.where(cl, yk, yk_n)
+        ye = jnp.where(conv[None, :], ye, ye_n)
+        it = jnp.where(conv, it, it + st.check_every)
+
+        # In-kernel residuals are measured on the unfrozen iterate; for
+        # converged lanes they differ from the frozen state's, but conv is
+        # sticky and their pri/dua values are discarded below, so the
+        # recorded trajectory is identical to the XLA branch.
+        pri_res, dua_res, n_az, n_pd = res[0], res[1], res[2], res[3]
+        eps_pri = st.eps_abs + st.eps_rel * n_az
+        eps_dua = st.eps_abs + st.eps_rel * n_pd
+        conv_new = conv | ((pri_res <= eps_pri) & (dua_res <= eps_dua))
+
+        if st.adaptive_rho:
+            num = pri_res / jnp.maximum(n_az, 1e-12)
+            den = dua_res / jnp.maximum(n_pd, 1e-12)
+            ratio = jnp.sqrt(num / jnp.maximum(den, 1e-12))
+            need = (~conv_new) & ((ratio > 5.0) | (ratio < 0.2))
+            rho_bar_new = jnp.where(
+                need, jnp.clip(rho_bar * ratio, 1e-6, 1e6), rho_bar)
+
+            def refactor():
+                rk_n, re_n, Ci_n, W_n = factor(rho_bar_new)
+                fsel = need[None, None, None, :]
+                return (jnp.where(need[None, None, :], rk_n, rk),
+                        jnp.where(need[None, :], re_n, re),
+                        jnp.where(fsel, Ci_n, Ci),
+                        jnp.where(fsel, W_n, W))
+
+            rk, re, Ci, W = jax.lax.cond(
+                jnp.any(need), refactor, lambda: (rk, re, Ci, W))
+            rho_bar = rho_bar_new
+
+        return (v, zk, ze, yk, ye, rk, re, Ci, W, rho_bar, it, conv_new,
+                jnp.where(conv, pri, pri_res), jnp.where(conv, dua, dua_res))
+
+    def cond(carry):
+        it, conv = carry[10], carry[11]
+        return jnp.any((~conv) & (it < st.max_iter))
+
+    init = (lane(v), lane(zk), lane(ze), lane(yk), lane(ye),
+            rk0, re0, Ci0, W0, rho_bar0,
+            with_vma_of(jnp.zeros((B,), jnp.int32), qp),
+            with_vma_of(jnp.zeros((B,), bool), qp),
+            with_vma_of(jnp.full((B,), jnp.inf, dt), qp),
+            with_vma_of(jnp.full((B,), jnp.inf, dt), qp))
+    out = jax.lax.while_loop(cond, admm_round, init)
+    it, conv, pri, dua = out[10], out[11], out[12], out[13]
+    return PathQPSolution(v=unlane(out[0]), y_knot=unlane(out[3]),
+                          y_end=unlane(out[4]), iters=it, converged=conv,
+                          pri_res=pri, dua_res=dua)
+
+
+def _solve_chunk_xla(qp: PathQP, v0, y0_knot, y0_end,
+                     settings: QPSettings) -> PathQPSolution:
+    """Batch-global XLA rounds (non-TPU backends / fused_rounds=False)."""
     st = settings
     B, N = qp.p_diag.shape[0], qp.p_diag.shape[1]
     dt = qp.p_diag.dtype
@@ -180,39 +343,11 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
     a_mul = jax.vmap(assembly.a_mul)
     at_mul = jax.vmap(assembly.at_mul)
 
-    # Fused-Pallas rounds: lane-major layout, batch chunked to 128 lanes.
-    # Only on TPU backends — on CPU the kernels would run in interpret mode
-    # (orders of magnitude slower than the XLA rounds); kernel parity on CPU
-    # is covered by dedicated interpret-mode tests.
-    on_tpu = jax.default_backend() in ("tpu", "axon")
-    # Any batch size takes the fused path: the kernels pad the lane dimension
-    # to the next 128 multiple internally (fused_rounds._pad_lanes).
-    use_fused = st.fused_rounds and on_tpu
-    if use_fused:
-        from tpu_pathopt.solver import fused_rounds
-        interpret = False
-        lane = lambda a: jnp.moveaxis(a, 0, -1)
-        unlane = lambda a: jnp.moveaxis(a, -1, 0)
-        # Static per-solve constants in kernel layout.
-        geom = qp.coll_coef[:1, 0, :, 1]                       # (1, 2) lf, lr
-        es_l = lane((jnp.arange(N)[None, :]
-                     == qp.end_idx[:, None]).astype(dt))[:, None, :]  # (N,1,B)
-        tp_l = lane(qp.t_prev)                                 # (N, 3, 6, B)
-        lbk_l, ubk_l = lane(lb_knot), lane(ub_knot)
-        lbe_l, ube_l = lane(lb_end), lane(ub_end)
-
     def factor(rho_bar):
         rk = rho_bar[:, None, None] * cls_knot
         re = rho_bar[:, None] * cls_end
         diag, off = jax.vmap(assembly.normal_blocks, in_axes=(0, 0, 0, None))(
             qp, rk, re, st.sigma)
-        if use_fused:
-            # Lane-major fused factor kernel; W comes back already padded
-            # ((N, 6, 6, B) with W[0] = 0) in the kernel layout.
-            offp = jnp.concatenate([jnp.zeros((B, 1, 6, 6), dt), off], axis=1)
-            Ci_l, Wp_l = fused_rounds.fused_factor(
-                lane(diag), lane(offp), interpret=interpret)
-            return rk, re, Ci_l, Wp_l
         C, W = jax.vmap(btridiag.factor)(diag, off)
         Cinv, W = btridiag.inv_factors(C, W)
         return rk, re, Cinv, W
@@ -253,19 +388,8 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
             ye_new = re * (ztmp_e - ze_new)
             return v_new, zk_new, ze_new, yk_new, ye_new
 
-        if use_fused:
-            # Ci/W already live in the kernel's lane-major layout.
-            v_n, zk_n, ze_n, yk_n, ye_n = map(
-                unlane,
-                fused_rounds.fused_admm_round(
-                    geom, Ci, W, tp_l, lbk_l, ubk_l, lbe_l, ube_l,
-                    lane(rk), lane(re), es_l,
-                    lane(v), lane(zk), lane(ze), lane(yk), lane(ye),
-                    iters=st.check_every, alpha=st.alpha, sigma=st.sigma,
-                    interpret=interpret))
-        else:
-            v_n, zk_n, ze_n, yk_n, ye_n = jax.lax.fori_loop(
-                0, st.check_every, step, (v, zk, ze, yk, ye))
+        v_n, zk_n, ze_n, yk_n, ye_n = jax.lax.fori_loop(
+            0, st.check_every, step, (v, zk, ze, yk, ye))
         c3 = conv[:, None, None]
         v = jnp.where(c3, v, v_n)
         zk = jnp.where(c3, zk, zk_n)
@@ -279,16 +403,15 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
         Aty = at_mul(qp, yk, ye)
         pri_res = inf2(Avk - zk, Ave - ze)
         dua_res = amax(pv + Aty)
-        eps_pri = st.eps_abs + st.eps_rel * jnp.maximum(
-            inf2(Avk, Ave), inf2(zk, ze))
-        eps_dua = st.eps_abs + st.eps_rel * jnp.maximum(amax(pv), amax(Aty))
+        n_az = jnp.maximum(inf2(Avk, Ave), inf2(zk, ze))
+        n_pd = jnp.maximum(amax(pv), amax(Aty))
+        eps_pri = st.eps_abs + st.eps_rel * n_az
+        eps_dua = st.eps_abs + st.eps_rel * n_pd
         conv_new = conv | ((pri_res <= eps_pri) & (dua_res <= eps_dua))
 
         if st.adaptive_rho:
-            num = pri_res / jnp.maximum(
-                jnp.maximum(inf2(Avk, Ave), inf2(zk, ze)), 1e-12)
-            den = dua_res / jnp.maximum(
-                jnp.maximum(amax(pv), amax(Aty)), 1e-12)
+            num = pri_res / jnp.maximum(n_az, 1e-12)
+            den = dua_res / jnp.maximum(n_pd, 1e-12)
             ratio = jnp.sqrt(num / jnp.maximum(den, 1e-12))
             need = (~conv_new) & ((ratio > 5.0) | (ratio < 0.2))
             rho_bar_new = jnp.where(
@@ -296,10 +419,7 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
 
             def refactor():
                 rk_n, re_n, Ci_n, W_n = factor(rho_bar_new)
-                # Factors are lane-major (batch last) in the fused path,
-                # batch-leading otherwise.
-                fsel = (need[None, None, None, :] if use_fused
-                        else need[:, None, None, None])
+                fsel = need[:, None, None, None]
                 return (jnp.where(need[:, None, None], rk_n, rk),
                         jnp.where(need[:, None], re_n, re),
                         jnp.where(fsel, Ci_n, Ci),
