@@ -205,3 +205,29 @@ def test_directional_newton_bad_hint_rescued_by_prescan():
         xs, ys, tx, ty, angle, p_scan))
     assert r_newton > 0.1, "expected the bad hint to strand Newton"
     assert r_scan < 1e-2
+
+
+def test_segment_select_ignores_nonfinite_padding():
+    """Padded splines can carry non-finite coefficients beyond n_valid (the
+    pipeline's arc-length refits do); the one-hot segment select must not
+    let them poison valid queries — a 0/1 *multiply* mask would turn
+    0 * inf into NaN for every query (caught as ok_fraction=0 end-to-end)."""
+    import jax
+    import jax.numpy as jnp
+
+    s = jnp.asarray(np.linspace(0.0, 5.0, 8), jnp.float32)
+    y = jnp.asarray(np.cos(np.linspace(0.0, 5.0, 8)), jnp.float32)
+    sp = splines.fit_natural(s, y, n_valid=jnp.asarray(6, jnp.int32))
+    # Poison the padded segments explicitly.
+    bad = jnp.asarray([0, 0, 0, 0, 0, np.inf, np.nan], jnp.float32)
+    sp_bad = sp.replace(a=sp.a + bad, b=sp.b + bad, c=sp.c + bad)
+
+    q = jnp.asarray(np.linspace(0.0, float(sp.s[5]), 17), jnp.float32)
+    clean = np.asarray(jax.jit(splines.evaluate)(sp, q))
+    got = np.asarray(jax.jit(splines.evaluate)(sp_bad, q))
+    assert np.isfinite(got).all()
+    np.testing.assert_array_equal(got, clean)
+
+    tbl = splines.pack_xy(sp_bad, sp_bad)
+    out = jax.jit(splines.eval_xy_fused)(sp_bad, sp_bad, tbl, q)
+    assert all(np.isfinite(np.asarray(o)).all() for o in out)

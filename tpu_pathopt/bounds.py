@@ -57,16 +57,18 @@ def clearance_strict(gm: maps.GridMap, x, y, heading, config: PlannerConfig):
     the LEFT side of the path. We refine each side along its own direction
     (geometrically correct); worst-case difference vs the reference is the
     0.25 m refinement span on the right bound."""
-    left_angle = heading + jnp.pi / 2
-    right_angle = heading - jnp.pi / 2
+    # Both sides ride ONE stacked gather per phase: measured TPU gather
+    # throughput rises with the number of indices per call (0.08 G/s at
+    # 0.5M -> 0.17 G/s at 3M), so two half-size marches cost ~1.5x one
+    # stacked march. The leading axis of ``ang2`` is (left, right).
+    ang2 = jnp.stack([heading + jnp.pi / 2, heading - jnp.pi / 2])
 
     origin_clear = maps.obstacle_distance(gm, x, y)
     ok = origin_clear > _SEARCH_RADIUS
 
     # Coarse march: reference breaks at the first step with clearance < 0.5
     # and keeps bound = (last good step) * ds; no break -> (steps-1)*ds.
-    left_hits = _march(gm, x, y, left_angle, _COARSE_STEPS, _COARSE_DS)
-    right_hits = _march(gm, x, y, right_angle, _COARSE_STEPS, _COARSE_DS)
+    hits2 = _march(gm, x[None], y[None], ang2, _COARSE_STEPS, _COARSE_DS)
 
     def coarse_bound(hits):
         # Break at step j (0-based position (j+1)*ds) -> bound j*ds;
@@ -76,14 +78,16 @@ def clearance_strict(gm: maps.GridMap, x, y, heading, config: PlannerConfig):
                          hits.astype(jnp.float32) * _COARSE_DS,
                          (_COARSE_STEPS - 1) * _COARSE_DS)
 
-    left_b = coarse_bound(left_hits)
-    right_b = coarse_bound(right_hits)
+    base2 = coarse_bound(hits2)
 
-    # Fine refinement forward from the coarse bound (reference :276-299).
+    # Fine refinement forward from the coarse bound (reference :276-299),
+    # both sides in one stacked probe call.
     def refine(base, angle):
         i = jnp.arange(1, _FINE_STEPS + 1, dtype=jnp.float32)
-        px = x[..., None] + (base[..., None] + i * _FINE_DS) * jnp.cos(angle)[..., None]
-        py = y[..., None] + (base[..., None] + i * _FINE_DS) * jnp.sin(angle)[..., None]
+        px = x[None, ..., None] \
+            + (base[..., None] + i * _FINE_DS) * jnp.cos(angle)[..., None]
+        py = y[None, ..., None] \
+            + (base[..., None] + i * _FINE_DS) * jnp.sin(angle)[..., None]
         clear = maps.obstacle_distance(gm, px, py)
         bad = clear < _SEARCH_RADIUS
         good = jnp.argmax(
@@ -91,8 +95,8 @@ def clearance_strict(gm: maps.GridMap, x, y, heading, config: PlannerConfig):
             .astype(jnp.int32), axis=-1)
         return base + jnp.minimum(good, _FINE_STEPS).astype(jnp.float32) * _FINE_DS
 
-    left_b = refine(left_b, left_angle)
-    right_b = refine(right_b, right_angle)
+    ref2 = refine(base2, ang2)
+    left_b, right_b = ref2[0], ref2[1]
 
     diff_radius = config.car_width * 0.5 - _SEARCH_RADIUS
     left = left_b - diff_radius

@@ -146,17 +146,44 @@ def _segment_index(sp: CubicSpline, q):
     return jnp.clip(i, 0, sp.n_valid - 2)
 
 
+_ONEHOT_MAX_ROWS = 512
+
+
+def _select_rows(tbl, i):
+    """``tbl[i]`` for small tables as a one-hot multiply-reduce instead of a
+    gather. TPU gathers run at ~0.1-0.3 G indices/s regardless of row width;
+    a (Q, K) one-hot mask against K <= a few hundred rows is a fused VPU
+    broadcast-compare + reduce that costs effectively nothing — inside the
+    Newton projection loops the per-iteration coefficient gathers dominated
+    the whole bounds stage. Exact: each output sums ONE selected term, so
+    results are bit-identical to the gather. The select is a ``where`` (not
+    a 0/1 multiply): rows beyond a padded spline's valid extent may hold
+    non-finite coefficients, and 0 * inf would poison every query."""
+    K = tbl.shape[0]
+    oh = i[..., None] == jnp.arange(K, dtype=i.dtype)
+    return jnp.sum(jnp.where(oh[..., None], tbl, jnp.zeros_like(tbl)),
+                   axis=-2)
+
+
 def evaluate(sp: CubicSpline, q, order: int = 0):
     """Evaluate the spline (order=0) or its derivative (order=1, 2) at q.
     Linear extrapolation beyond the valid range (tk::spline natural-BC
     behavior, spline.cpp:251-299)."""
     q = jnp.asarray(q)
     i = _segment_index(sp, q)
-    t = q - jnp.take(sp.s, i)
-    a = jnp.take(sp.a, i)
-    b = jnp.take(sp.b, i)
-    c = jnp.take(sp.c, i)
-    y0 = jnp.take(sp.y, i)
+    nseg = sp.a.shape[0]
+    if nseg <= _ONEHOT_MAX_ROWS:
+        seg_tbl = jnp.stack([sp.s[:nseg], sp.y[:nseg], sp.a, sp.b, sp.c],
+                            axis=-1)
+        row = _select_rows(seg_tbl, i)
+        t = q - row[..., 0]
+        y0, a, b, c = row[..., 1], row[..., 2], row[..., 3], row[..., 4]
+    else:
+        t = q - jnp.take(sp.s, i)
+        a = jnp.take(sp.a, i)
+        b = jnp.take(sp.b, i)
+        c = jnp.take(sp.c, i)
+        y0 = jnp.take(sp.y, i)
 
     s_lo = sp.s[0]
     s_hi = sp.s_max
@@ -253,8 +280,18 @@ def eval_xy_fused(xs: CubicSpline, ys: CubicSpline, tbl, q):
     :func:`evaluate` calls (incl. linear extrapolation), one gather."""
     q = jnp.asarray(q)
     i = _segment_index(xs, q)
-    t = q - jnp.take(xs.s, i)
-    row = jnp.take(tbl, i, axis=0)
+    nseg = tbl.shape[0]
+    if nseg <= _ONEHOT_MAX_ROWS:
+        # One-hot multiply-reduce beats the gather for these small tables
+        # (see _select_rows); fold the knot s column in so the whole segment
+        # state is one select.
+        row = _select_rows(jnp.concatenate([xs.s[:nseg, None], tbl], axis=-1),
+                           i)
+        t = q - row[..., 0]
+        row = row[..., 1:]
+    else:
+        t = q - jnp.take(xs.s, i)
+        row = jnp.take(tbl, i, axis=0)
     x0, xa, xb, xc = row[..., 0], row[..., 1], row[..., 2], row[..., 3]
     y0, ya, yb, yc = row[..., 4], row[..., 5], row[..., 6], row[..., 7]
 
