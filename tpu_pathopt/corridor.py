@@ -163,9 +163,15 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
         total = cost_p[:, None] + edge + self_l[None, :]
         total = jnp.where(lat_ok, total, _INF)
         total = jnp.where(feas_l[None, :], total, _INF)
-        best_prev = jnp.argmin(total, axis=0)                  # (K,)
-        best_cost = jnp.take_along_axis(total, best_prev[None, :], 0)[0]
-        best_dir = jnp.take_along_axis(direction, best_prev[None, :], 0)[0]
+        # Min + first-argmin + one-hot select instead of take_along_axis:
+        # inside the sequential layer scan those small gathers dominate on
+        # TPU (same effect as splines._select_rows).
+        best_cost = jnp.min(total, axis=0)                     # (K,)
+        kp_iota = jnp.arange(total.shape[0])[:, None]
+        best_prev = jnp.min(jnp.where(total == best_cost[None, :], kp_iota,
+                                      total.shape[0]), axis=0)
+        onehot = kp_iota == best_prev[None, :]
+        best_dir = jnp.sum(jnp.where(onehot, direction, 0.0), axis=0)
         layer_alive = alive & jnp.any(best_cost < _INF)
         cost_n = jnp.where(layer_alive, best_cost, _INF)
         dir_n = jnp.where(best_cost < _INF, best_dir, h_l)
@@ -196,7 +202,8 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
         layer_idx, parent_row = inp
         on_path = layer_idx <= max_layer
         k = jnp.where(layer_idx == max_layer, best_k_last, k_next)
-        k_prev = parent_row[k]
+        # One-hot select instead of a dynamic gather (see dp_step).
+        k_prev = jnp.sum(jnp.where(jnp.arange(K) == k, parent_row, 0))
         return jnp.where(on_path, k_prev, k_next), (k, on_path)
 
     _, (path_k, on_path) = jax.lax.scan(
@@ -335,8 +342,11 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
         edge_ok = jnp.abs(l_l[None, :] - l_p[:, None]) <= tan60 * (s_l - s_p)
         total = g_p[:, None] + self_l[None, :]
         total = jnp.where(edge_ok & feas_l[None, :], total, _INF)
-        best_prev = jnp.argmin(total, axis=0)                 # (K,)
-        best_g = jnp.take_along_axis(total, best_prev[None, :], 0)[0]
+        # Min + first-argmin without the take_along_axis gather (see dp_step).
+        best_g = jnp.min(total, axis=0)                       # (K,)
+        kp_iota = jnp.arange(total.shape[0])[:, None]
+        best_prev = jnp.min(jnp.where(total == best_g[None, :], kp_iota,
+                                      total.shape[0]), axis=0)
         layer_alive = alive & jnp.any(best_g < _INF)
         g_n = jnp.where(layer_alive, best_g, _INF)
         return ((g_n, l_l, s_l, layer_alive),
@@ -367,7 +377,8 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
         layer_idx, parent_row = inp
         on_path = layer_idx <= max_layer
         k = jnp.where(layer_idx == max_layer, best_k_last, k_next)
-        k_prev = parent_row[k]
+        # One-hot select instead of a dynamic gather (see relax_step).
+        k_prev = jnp.sum(jnp.where(jnp.arange(K) == k, parent_row, 0))
         return jnp.where(on_path, k_prev, k_next), (k, on_path)
 
     _, (path_k, _) = jax.lax.scan(
