@@ -434,17 +434,12 @@ def main():
               flush=True)
 
     try:
-        # B=1 latency vs the reference's 30 Hz budget (demo.cpp:133). A B=1
-        # program is its own compile; the persistent cache amortizes it.
-        if remaining() > 60:
-            result.update(b1_latency())
-            print(f"bench: b1 latency done at t={time.time() - t_start:.0f}s",
-                  file=sys.stderr, flush=True)
-    except Exception as e:
-        print(f"bench: b1 latency section failed: {e!r}", file=sys.stderr,
-              flush=True)
-
-    try:
+        # Run the stream BEFORE the B=1 section: measured, the
+        # B=1 program's warm state in-process degrades the subsequent
+        # streamed throughput ~35% (cause unresolved; isolated
+        # --stream64k runs match this ordering's numbers).
+        import gc
+        gc.collect()
         # The sharded-stream program is a second compile (shard_map); gate on
         # a bigger margin when the cache is cold.
         if remaining() > max(90.0, 65536.0 / max(solves_per_s, 1.0) + 30):
@@ -456,6 +451,17 @@ def main():
                   file=sys.stderr, flush=True)
     except Exception as e:
         print(f"bench: stream64k section failed: {e!r}", file=sys.stderr,
+              flush=True)
+
+    try:
+        # B=1 latency vs the reference's 30 Hz budget (demo.cpp:133). A B=1
+        # program is its own compile; the persistent cache amortizes it.
+        if remaining() > 60:
+            result.update(b1_latency())
+            print(f"bench: b1 latency done at t={time.time() - t_start:.0f}s",
+                  file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: b1 latency section failed: {e!r}", file=sys.stderr,
               flush=True)
 
     print(json.dumps(result))
