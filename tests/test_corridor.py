@@ -125,3 +125,37 @@ def test_hold_from_run_start_matches_scan_semantics():
             got = np.asarray(_hold_from_run_start(
                 jnp.asarray(feas), jnp.asarray(vals), reverse))
             np.testing.assert_array_equal(got, brute(reverse))
+
+
+def test_dp_forward_pallas_matches_scan():
+    """The fused DP forward kernel (one grid step per layer, frontier in
+    VMEM scratch) must reproduce the lax.scan forward exactly — costs,
+    parents and alive flags — including dead layers and INF propagation."""
+    import jax
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(7)
+    B, Lm1, K = 5, 9, 11
+    dir_all = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, Lm1, K, K)),
+                          jnp.float32)
+    base = rng.uniform(0.0, 3.0, (B, Lm1, K, K))
+    # Random infeasible edges + one fully dead layer in one scenario.
+    base[rng.random((B, Lm1, K, K)) < 0.3] = corridor._INF
+    base[1, 4] = corridor._INF
+    base_all = jnp.asarray(base, jnp.float32)
+    h_in = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, Lm1)), jnp.float32)
+    cost0 = np.full((B, K), corridor._INF, np.float32)
+    cost0[np.arange(B), rng.integers(0, K, B)] = 0.0
+    cost0 = jnp.asarray(cost0)
+    dir0 = jnp.asarray(rng.uniform(-np.pi, np.pi, (B, 1)), jnp.float32)
+    dir0 = jnp.broadcast_to(dir0, (B, K))
+    w1 = 16.0
+
+    ref = jax.vmap(lambda d, b, h, c0, d0: corridor._dp_forward_scan(
+        d, b, h, c0, d0, w1))(dir_all, base_all, h_in, cost0, dir0)
+    got = corridor._dp_forward_pallas(dir_all, base_all, h_in, cost0, dir0,
+                                      w1, interpret=True)
+    np.testing.assert_allclose(np.asarray(got[0]), np.asarray(ref[0]),
+                               atol=1e-5, rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(got[1]), np.asarray(ref[1]))
+    np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(ref[2]))

@@ -27,9 +27,13 @@ documented, knowingly-fixed divergence (SURVEY.md §7 quirks policy).
 
 from __future__ import annotations
 
+import functools
+
 import flax.struct
 import jax
 import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 from tpu_pathopt import maps, splines
 from tpu_pathopt.config import PlannerConfig
@@ -76,9 +80,30 @@ class Corridor:
     ok: jax.Array          # () bool
 
 
-def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
+@flax.struct.dataclass
+class DpLattice:
+    """Everything the DP forward pass and the corridor finish need, computed
+    per scenario by :func:`prepare_lattice` (the lattice construction half of
+    graphSearchDp, reference_path_smoother.cpp:148-226)."""
+
+    layers_s: jax.Array    # (L,)
+    n_layers: jax.Array    # () int32
+    vehicle_l: jax.Array   # ()
+    ok: jax.Array          # () bool
+    ref_x: jax.Array       # (L,)
+    ref_y: jax.Array
+    ref_h: jax.Array
+    rough_lb: jax.Array    # (L, K)
+    rough_ub: jax.Array
+    dir_all: jax.Array     # (L-1, Kp, K) edge directions between layers
+    base_all: jax.Array    # (L-1, Kp, K) state-independent edge+node costs
+    cost0: jax.Array       # (K,) layer-0 costs (0 at the start node)
+    dir0: jax.Array        # (K,) layer-0 incoming direction (start heading)
+
+
+def prepare_lattice(gm: maps.GridMap, xs: splines.CubicSpline,
                     ys: splines.CubicSpline, length, start_x, start_y,
-                    start_heading, config: PlannerConfig) -> Corridor:
+                    start_heading, config: PlannerConfig) -> DpLattice:
     cfg = config
     L = cfg.dp_layers
     K = cfg.dp_laterals
@@ -137,7 +162,10 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
     rough_lb = _hold_from_run_start(feasible, lat_grid, reverse=False)
     rough_ub = _hold_from_run_start(feasible, lat_grid, reverse=True)
 
-    # --- DP over layers (:228-238 + calculateCostAt :107-140) ---
+    # --- State-independent DP edge costs (:228-238 + calculateCostAt
+    # :107-140), vectorized over all (L-1, K_prev, K) at once: directions,
+    # the ref-angle term, the |dl| <= ds gate and node feasibility/self
+    # costs depend only on the lattice, not on the DP state. ---
     safe_dist = cfg.dp_safe_distance
     self_cost = jnp.where(dis < safe_dist,
                           (safe_dist - dis) / safe_dist * cfg.dp_weight_obstacle,
@@ -145,24 +173,38 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
     self_cost = self_cost + jnp.abs(lat)[None, :] / lat_range \
         * cfg.dp_weight_ref_offset
 
+    in_mask = jnp.arange(1, L) < n_layers
+    feas_in = feasible[1:] & in_mask[:, None]
+    dir_all = jnp.arctan2(node_y[1:, None, :] - node_y[:-1, :, None],
+                          node_x[1:, None, :] - node_x[:-1, :, None])
+    term2 = jnp.abs(constrain_angle(dir_all - ref_h[1:, None, None])) \
+        / (jnp.pi / 2) * cfg.dp_weight_ref_angle_diff
+    lat_ok = (jnp.abs(lat[None, None, :] - lat[None, :, None])
+              <= (layers_s[1:] - layers_s[:-1])[:, None, None])
+    base_all = jnp.where(lat_ok & feas_in[:, None, :],
+                         term2 + self_cost[1:, None, :], _INF)
+
     cost0 = jnp.where(k_idx == start_idx, 0.0, _INF)
     dir0 = jnp.full((K,), start_heading, dt)
+    return DpLattice(layers_s=layers_s, n_layers=n_layers,
+                     vehicle_l=vehicle_l.astype(dt), ok=ok,
+                     ref_x=ref_x, ref_y=ref_y, ref_h=ref_h,
+                     rough_lb=rough_lb, rough_ub=rough_ub,
+                     dir_all=dir_all, base_all=base_all,
+                     cost0=cost0, dir0=dir0)
+
+
+def _dp_forward_scan(dir_all, base_all, h_in, cost0, dir0, w1):
+    """Per-scenario DP forward pass as a lax.scan over layers (CPU path and
+    the per-scenario :func:`search_corridor` API). Returns
+    (costs (L-1, K), parents (L-1, K) int32, alives (L-1,) bool)."""
 
     def dp_step(carry, inp):
-        cost_p, dir_p, x_p, y_p, s_p, alive = carry
-        feas_l, self_l, x_l, y_l, s_l, h_l = inp
-        # (K_prev, K) edge candidates.
-        dxy_x = x_l[None, :] - x_p[:, None]
-        dxy_y = y_l[None, :] - y_p[:, None]
-        direction = jnp.arctan2(dxy_y, dxy_x)
-        edge = (jnp.abs(constrain_angle(direction - dir_p[:, None]))
-                / (jnp.pi / 2) * cfg.dp_weight_angle_change
-                + jnp.abs(constrain_angle(direction - h_l))
-                / (jnp.pi / 2) * cfg.dp_weight_ref_angle_diff)
-        lat_ok = jnp.abs(lat[None, :] - lat[:, None]) <= (s_l - s_p)
-        total = cost_p[:, None] + edge + self_l[None, :]
-        total = jnp.where(lat_ok, total, _INF)
-        total = jnp.where(feas_l[None, :], total, _INF)
+        cost_p, dir_p, alive = carry
+        direction, base, h_l = inp            # (Kp, K), (Kp, K), ()
+        t1 = jnp.abs(constrain_angle(direction - dir_p[:, None])) \
+            / (jnp.pi / 2) * w1
+        total = cost_p[:, None] + t1 + base
         # Min + first-argmin + one-hot select instead of take_along_axis:
         # inside the sequential layer scan those small gathers dominate on
         # TPU (same effect as splines._select_rows).
@@ -177,18 +219,171 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
         dir_n = jnp.where(best_cost < _INF, best_dir, h_l)
         # Keep the previous frontier if this layer is dead (so deeper layers
         # stay dead too — costs all _INF).
-        return ((cost_n, dir_n, x_l, y_l, s_l, layer_alive),
+        return ((cost_n, dir_n, layer_alive),
                 (cost_n, best_prev, layer_alive))
 
-    init = (cost0, dir0, node_x[0], node_y[0], layers_s[0],
-            with_vma_of(jnp.asarray(True), feasible))
-    in_mask = jnp.arange(1, L) < n_layers
-    feas_in = feasible[1:] & in_mask[:, None]
+    init = (cost0, dir0, with_vma_of(jnp.asarray(True), cost0))
     _, (costs, parents, alives) = jax.lax.scan(
-        dp_step, init,
-        (feas_in, self_cost[1:], node_x[1:], node_y[1:], layers_s[1:],
-         ref_h[1:]))
-    costs = jnp.concatenate([cost0[None], costs])              # (L, K)
+        dp_step, init, (dir_all, base_all, h_in))
+    return costs, parents, alives
+
+
+def _dp_fwd_kernel(dir_ref, base_ref, h_ref, cost0_ref, dir0_ref,
+                   costs_ref, parents_ref, alives_ref,
+                   cost_s, dir_s, alive_s, *, w1: float):
+    """One grid step = one DP layer for a full 128-lane scenario chunk.
+
+    The 31-layer scan is inherently sequential (the angle-change cost needs
+    the parent's incoming edge direction), and as 31 XLA scan steps it pays
+    fixed per-step overhead that dwarfs the tiny (K, K, B) compute. Here the
+    whole forward pass is ONE pallas_call: the frontier (cost/dir/alive)
+    lives in VMEM scratch across grid steps while each layer's precomputed
+    edge blocks stream in. Arithmetic is identical to _dp_forward_scan
+    (wrap formula = geometry.constrain_angle)."""
+    l = pl.program_id(0)
+
+    @pl.when(l == 0)
+    def _():
+        cost_s[:] = cost0_ref[0]
+        dir_s[:] = dir0_ref[0]
+        alive_s[:] = jnp.ones_like(alive_s)
+
+    d = dir_ref[0]                        # (Kp, K, B)
+    base = base_ref[0]
+    cost_p = cost_s[:]                    # (K, B)
+    dir_p = dir_s[:]
+    diff = d - dir_p[:, None, :]
+    wrapped = jnp.mod(diff + jnp.pi, 2.0 * jnp.pi) - jnp.pi
+    t1 = jnp.abs(wrapped) / (jnp.pi / 2.0) * w1
+    total = cost_p[:, None, :] + t1 + base
+    best_cost = jnp.min(total, axis=0)                        # (K, B)
+    kp = jax.lax.broadcasted_iota(jnp.int32, total.shape, 0)
+    best_prev = jnp.min(jnp.where(total == best_cost[None], kp,
+                                  total.shape[0]), axis=0)
+    onehot = kp == best_prev[None]
+    best_dir = jnp.sum(jnp.where(onehot, d, 0.0), axis=0)
+    alive = alive_s[:] > 0.0                                  # (1, B)
+    col_alive = jnp.min(best_cost, axis=0, keepdims=True) < _INF
+    layer_alive = alive & col_alive
+    cost_n = jnp.where(layer_alive, best_cost, _INF)
+    dir_n = jnp.where(best_cost < _INF, best_dir, h_ref[0])
+    cost_s[:] = cost_n
+    dir_s[:] = dir_n
+    alive_s[:] = layer_alive.astype(cost_n.dtype)
+    costs_ref[0] = cost_n
+    parents_ref[0] = best_prev
+    alives_ref[0] = layer_alive.astype(jnp.int32)
+
+
+def _lane_sds(shape, dtype, like):
+    vma = getattr(jax.typeof(like), "vma", None)
+    if vma:
+        return jax.ShapeDtypeStruct(shape, dtype, vma=vma)
+    return jax.ShapeDtypeStruct(shape, dtype)
+
+
+def _dp_forward_pallas(dir_all, base_all, h_in, cost0, dir0, w1,
+                       interpret: bool = False):
+    """Batched DP forward via the fused kernel: inputs batch-leading
+    (B, L-1, Kp, K) / (B, L-1) / (B, K); batch rides the lanes in 128-wide
+    chunks (edge-replicated padding, sliced off; interpret mode pads only
+    to the real batch — CPU tests would otherwise do 128x the work)."""
+    B, lm1, Kp, K = dir_all.shape
+    lane = lambda a: jnp.moveaxis(a, 0, -1)
+    d_l = lane(dir_all)                   # (Lm1, Kp, K, B)
+    b_l = lane(base_all)
+    h_l = lane(h_in)[:, None, :]          # (Lm1, 1, B)
+    c0_l = lane(cost0)[None]              # (1, K, B)
+    d0_l = lane(dir0)[None]
+
+    ch = B if (interpret and B <= 128) else 128
+    Bp = -(-B // ch) * ch
+
+    def pad(a):
+        if a.shape[-1] == Bp:
+            return a
+        reps = jnp.broadcast_to(a[..., -1:], a.shape[:-1] + (Bp - a.shape[-1],))
+        return jnp.concatenate([a, reps], axis=-1)
+
+    d_l, b_l, h_l, c0_l, d0_l = map(pad, (d_l, b_l, h_l, c0_l, d0_l))
+
+    def run_chunk(dc, bc, hc, cc, dcc):
+        return pl.pallas_call(
+            functools.partial(_dp_fwd_kernel, w1=w1),
+            grid=(lm1,),
+            in_specs=[
+                pl.BlockSpec((1, Kp, K, ch), lambda l: (l, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, Kp, K, ch), lambda l: (l, 0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, ch), lambda l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, ch), lambda l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, ch), lambda l: (0, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ],
+            out_specs=(
+                pl.BlockSpec((1, K, ch), lambda l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, K, ch), lambda l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, 1, ch), lambda l: (l, 0, 0),
+                             memory_space=pltpu.VMEM),
+            ),
+            out_shape=(
+                _lane_sds((lm1, K, ch), jnp.float32, dc),
+                _lane_sds((lm1, K, ch), jnp.int32, dc),
+                _lane_sds((lm1, 1, ch), jnp.int32, dc),
+            ),
+            scratch_shapes=[
+                pltpu.VMEM((K, ch), jnp.float32),
+                pltpu.VMEM((K, ch), jnp.float32),
+                pltpu.VMEM((1, ch), jnp.float32),
+            ],
+            interpret=interpret,
+        )(dc, bc, hc, cc, dcc)
+
+    outs = []
+    for c in range(Bp // ch):
+        sl = slice(c * ch, (c + 1) * ch)
+        outs.append(run_chunk(d_l[..., sl], b_l[..., sl], h_l[..., sl],
+                              c0_l[..., sl], d0_l[..., sl]))
+    costs = jnp.concatenate([o[0] for o in outs], axis=-1)[..., :B]
+    parents = jnp.concatenate([o[1] for o in outs], axis=-1)[..., :B]
+    alives = jnp.concatenate([o[2] for o in outs], axis=-1)[..., :B]
+    unlane = lambda a: jnp.moveaxis(a, -1, 0)
+    return (unlane(costs), unlane(parents),
+            unlane(alives)[:, :, 0] > 0)
+
+
+def dp_forward_batched(lat: DpLattice, config: PlannerConfig):
+    """DP forward over a batched DpLattice (every leaf batch-leading):
+    the fused Pallas kernel on TPU backends, vmapped scan elsewhere."""
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        return _dp_forward_pallas(lat.dir_all, lat.base_all, lat.ref_h[:, 1:],
+                                  lat.cost0, lat.dir0,
+                                  config.dp_weight_angle_change)
+    return jax.vmap(
+        lambda d, b, h, c0, d0: _dp_forward_scan(
+            d, b, h, c0, d0, config.dp_weight_angle_change))(
+        lat.dir_all, lat.base_all, lat.ref_h[:, 1:], lat.cost0, lat.dir0)
+
+
+def finish_corridor(gm: maps.GridMap, lat: DpLattice, costs, parents, alives,
+                    config: PlannerConfig) -> Corridor:
+    """Backtrack + corridor expansion (:240-287) from a DP forward pass."""
+    cfg = config
+    L = cfg.dp_layers
+    K = cfg.dp_laterals
+    dt = jnp.float32
+    threshold = cfg.car_width / 2.0 + 0.2
+    n_layers = lat.n_layers
+    layers_s = lat.layers_s
+    ref_x, ref_y, ref_h = lat.ref_x, lat.ref_y, lat.ref_h
+
+    costs = jnp.concatenate([lat.cost0[None], costs])          # (L, K)
     parents = jnp.concatenate([jnp.zeros((1, K), jnp.int32), parents])
     alives = jnp.concatenate([jnp.asarray([True]), alives])    # (L,)
 
@@ -202,7 +397,7 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
         layer_idx, parent_row = inp
         on_path = layer_idx <= max_layer
         k = jnp.where(layer_idx == max_layer, best_k_last, k_next)
-        # One-hot select instead of a dynamic gather (see dp_step).
+        # One-hot select instead of a dynamic gather (see _dp_forward_scan).
         k_prev = jnp.sum(jnp.where(jnp.arange(K) == k, parent_row, 0))
         return jnp.where(on_path, k_prev, k_next), (k, on_path)
 
@@ -210,8 +405,8 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
         back_step, best_k_last, (jnp.arange(L), parents), reverse=True)
 
     # --- Corridor expansion around the backtracked nodes (:250-287) ---
-    node_lb = jnp.take_along_axis(rough_lb, path_k[:, None], 1)[:, 0]
-    node_ub = jnp.take_along_axis(rough_ub, path_k[:, None], 1)[:, 0]
+    node_lb = jnp.take_along_axis(lat.rough_lb, path_k[:, None], 1)[:, 0]
+    node_ub = jnp.take_along_axis(lat.rough_ub, path_k[:, None], 1)[:, 0]
     node_h = ref_h  # node heading := ref heading per layer (:189)
 
     def expand(base, sign):
@@ -249,7 +444,22 @@ def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
 
     return Corridor(layers_s=layers_s, lower=lower, upper=upper,
                     n_layers=(max_layer + 1).astype(jnp.int32),
-                    vehicle_l=vehicle_l.astype(dt), ok=ok)
+                    vehicle_l=lat.vehicle_l, ok=lat.ok)
+
+
+def search_corridor(gm: maps.GridMap, xs: splines.CubicSpline,
+                    ys: splines.CubicSpline, length, start_x, start_y,
+                    start_heading, config: PlannerConfig) -> Corridor:
+    """Per-scenario corridor search: prepare -> scan forward -> finish.
+    The batched pipeline uses :func:`prepare_lattice` +
+    :func:`dp_forward_batched` + :func:`finish_corridor` directly so the
+    forward pass can run as one fused kernel over the whole batch."""
+    lat = prepare_lattice(gm, xs, ys, length, start_x, start_y,
+                          start_heading, config)
+    costs, parents, alives = _dp_forward_scan(
+        lat.dir_all, lat.base_all, lat.ref_h[1:], lat.cost0, lat.dir0,
+        config.dp_weight_angle_change)
+    return finish_corridor(gm, lat, costs, parents, alives, config)
 
 
 def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
@@ -332,16 +542,27 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
         * cfg.search_deviation_cost
 
     # --- Layered relaxation (exact min-g; replaces the priority queue) ---
+    # The 60-degree transition gate (:421) and node costs depend only on the
+    # lattice, so the whole (L-1, K_prev, K) edge-cost tensor precomputes
+    # outside the sequential scan (see the DP variant above). Layer 0 is the
+    # single start node at l = vehicle_l: its degenerate "lattice" has every
+    # column at the start offset.
     tan60 = jnp.tan(jnp.deg2rad(60.0))
     k_idx = jnp.arange(K)
+    in_mask = jnp.arange(1, L) < n_layers
+    feas_in = feasible[1:] & in_mask[:, None]
+    l_prev_all = jnp.concatenate(
+        [jnp.full((1, K), vehicle_l, dt),
+         jnp.broadcast_to(lat, (L - 2, K))], axis=0)          # (L-1, Kp)
+    edge_ok = (jnp.abs(lat[None, None, :] - l_prev_all[:, :, None])
+               <= tan60 * (layers_s[1:] - layers_s[:-1])[:, None, None])
+    base_all = jnp.where(edge_ok & feas_in[:, None, :],
+                         self_cost[1:, None, :], _INF)
 
     def relax_step(carry, inp):
-        g_p, l_p, s_p, alive = carry
-        feas_l, self_l, s_l, l_l = inp
-        # 60-degree transition gate (:421): |atan2(dl, ds)| <= 60 deg.
-        edge_ok = jnp.abs(l_l[None, :] - l_p[:, None]) <= tan60 * (s_l - s_p)
-        total = g_p[:, None] + self_l[None, :]
-        total = jnp.where(edge_ok & feas_l[None, :], total, _INF)
+        g_p, alive = carry
+        base = inp                                            # (Kp, K)
+        total = g_p[:, None] + base
         # Min + first-argmin without the take_along_axis gather (see dp_step).
         best_g = jnp.min(total, axis=0)                       # (K,)
         kp_iota = jnp.arange(total.shape[0])[:, None]
@@ -349,19 +570,11 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
                                       total.shape[0]), axis=0)
         layer_alive = alive & jnp.any(best_g < _INF)
         g_n = jnp.where(layer_alive, best_g, _INF)
-        return ((g_n, l_l, s_l, layer_alive),
-                (g_n, best_prev, layer_alive))
+        return ((g_n, layer_alive), (g_n, best_prev, layer_alive))
 
-    # Layer 0 is the single start node at l = vehicle_l: seed the frontier
-    # with a degenerate "lattice" whose every column is the start node.
     g0 = jnp.zeros((K,), dt)
-    l0 = jnp.full((K,), vehicle_l, dt)
-    init = (g0, l0, layers_s[0], with_vma_of(jnp.asarray(True), g0))
-    in_mask = jnp.arange(1, L) < n_layers
-    feas_in = feasible[1:] & in_mask[:, None]
-    _, (gs, parents, alives) = jax.lax.scan(
-        relax_step, init, (feas_in, self_cost[1:], layers_s[1:],
-                           jnp.broadcast_to(lat, (L - 1, K))))
+    init = (g0, with_vma_of(jnp.asarray(True), g0))
+    _, (gs, parents, alives) = jax.lax.scan(relax_step, init, base_all)
     gs = jnp.concatenate([jnp.where(k_idx == 0, 0.0, _INF)[None], gs])
     parents = jnp.concatenate([jnp.zeros((1, K), jnp.int32), parents])
     alives = jnp.concatenate([jnp.asarray([True]), alives])

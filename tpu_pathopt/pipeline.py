@@ -149,22 +149,39 @@ def stage_smooth(gm: maps.GridMap, prep_out, config: PlannerConfig,
 
 def stage_corridor(gm: maps.GridMap, scs: Scenario, smooth_out,
                    config: PlannerConfig):
-    """Smoothed-spline refit + DP corridor search (graphSearchDp, :142-295),
-    per scenario. The reference extends the smoothed spline 3 m past the fit
-    (tension_smoother.cpp:40-41)."""
-    x2, y2, s2, n2, ok_smooth = smooth_out
-    search_fn = (corridor.search_corridor_astar
-                 if config.corridor_method == "ASTAR"
-                 else corridor.search_corridor)
+    """Smoothed-spline refit + DP corridor search (graphSearchDp, :142-295).
+    The reference extends the smoothed spline 3 m past the fit
+    (tension_smoother.cpp:40-41).
 
-    def mid(sc, x2_i, y2_i, n2_i):
+    The DP variant splits per-scenario lattice construction / finishing
+    (vmapped) from the layer-sequential forward pass, which runs batched —
+    one fused Pallas kernel over the whole batch on TPU
+    (corridor.dp_forward_batched) instead of B interleaved 31-step scans."""
+    x2, y2, s2, n2, ok_smooth = smooth_out
+
+    if config.corridor_method == "ASTAR":
+        def mid(sc, x2_i, y2_i, n2_i):
+            xs2, ys2, s2_max = _refit_splines(x2_i, y2_i, n2_i)
+            cor = corridor.search_corridor_astar(
+                gm, xs2, ys2, s2_max + 3.0, sc.start_x, sc.start_y,
+                sc.start_heading, config)
+            return xs2, ys2, cor
+
+        return jax.vmap(mid)(scs, x2, y2, n2)
+
+    def pre(sc, x2_i, y2_i, n2_i):
         xs2, ys2, s2_max = _refit_splines(x2_i, y2_i, n2_i)
-        cor = search_fn(
+        lat = corridor.prepare_lattice(
             gm, xs2, ys2, s2_max + 3.0, sc.start_x, sc.start_y,
             sc.start_heading, config)
-        return xs2, ys2, cor
+        return xs2, ys2, lat
 
-    return jax.vmap(mid)(scs, x2, y2, n2)
+    xs2, ys2, lat = jax.vmap(pre)(scs, x2, y2, n2)
+    costs, parents, alives = corridor.dp_forward_batched(lat, config)
+    cor = jax.vmap(
+        lambda la, c, p, a: corridor.finish_corridor(gm, la, c, p, a, config)
+    )(lat, costs, parents, alives)
+    return xs2, ys2, cor
 
 
 def stage_post_smooth(cor, config: PlannerConfig, settings: QPSettings):
