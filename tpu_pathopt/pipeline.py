@@ -282,7 +282,8 @@ def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
     order1 = jnp.argsort(-jnp.min(width, axis=-1))
     inv1 = jnp.argsort(order1)
     sol1_s = solve_path_qp_batched(
-        jax.tree_util.tree_map(lambda a: a[order1], qp1), settings=settings)
+        jax.tree_util.tree_map(lambda a: a[order1], qp1), settings=settings,
+        rho0=jnp.full((B,), settings.rho_bar_path, qp1.p_diag.dtype))
     sol1 = jax.tree_util.tree_map(lambda a: a[inv1], sol1_s)
     qp2 = jax.vmap(make_qp)(scs, ref, cb, ref_heading_last, init_offset,
                             init_heading_error, n_valid,
@@ -297,9 +298,14 @@ def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
     order = jnp.argsort(sol1.iters)
     inv = jnp.argsort(order)
     sort_b = lambda t: jax.tree_util.tree_map(lambda a: a[order], t)
+    # rho0 carries pass-1's final per-element rho into pass 2 — OSQP keeps
+    # rho across warm-started re-solves (the reference's pass 2 reuses the
+    # same solver object, base_solver.cpp:97-117); restarting adaptation
+    # from scratch measured up to 2x the pass-2 iterations.
     sol2_s = solve_path_qp_batched(
         sort_b(qp2), v0=sol1.v[order], y0_knot=sol1.y_knot[order],
-        y0_end=sol1.y_end[order], settings=settings)
+        y0_end=sol1.y_end[order], settings=settings,
+        rho0=sol1.rho_bar[order])
     sol2 = jax.tree_util.tree_map(lambda a: a[inv], sol2_s)
     return sol1, sol2
 

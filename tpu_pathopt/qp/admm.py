@@ -38,6 +38,15 @@ class QPSettings:
     sigma: float = 1e-6
     alpha: float = 1.6
     rho_bar: float = 0.1
+    # Initial rho for the lateral path QP specifically (pipeline.stage_path_qp
+    # passes it through the solver's rho0); pass 2 additionally inherits pass
+    # 1's final adapted rho, mirroring the reference's persistent OSQP solver
+    # object (base_solver.cpp:97-117). Measured: 0.8 converges ~25-40% faster
+    # on the bench workloads but lands up to ~4e-3 from the float64 optimum in
+    # kappa — OUTSIDE the gridmap parity tolerances — so the default stays at
+    # the OSQP default 0.1 (parity first); raise it only when throughput
+    # matters more than reference-grade solution accuracy.
+    rho_bar_path: float = 0.1
     scaling_iters: int = 10
     check_every: int = 25
     adaptive_rho: bool = True

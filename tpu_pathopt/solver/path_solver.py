@@ -38,6 +38,11 @@ class PathQPSolution:
     converged: jax.Array
     pri_res: jax.Array
     dua_res: jax.Array
+    # Final per-element rho. OSQP keeps its rho across warm-started
+    # re-solves (the reference's pass 2 reuses the SAME solver object,
+    # base_solver.cpp:97-117), so the pipeline threads pass-1's final rho
+    # into pass 2 via ``rho0`` instead of restarting adaptation.
+    rho_bar: jax.Array
 
 
 def _inf_norm2(a, b):
@@ -46,13 +51,14 @@ def _inf_norm2(a, b):
 
 @functools.partial(jax.jit, static_argnames=("settings",))
 def solve_path_qp(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
-                  settings: QPSettings = QPSettings()) -> PathQPSolution:
+                  settings: QPSettings = QPSettings(),
+                  rho0=None) -> PathQPSolution:
     with jax.default_matmul_precision("highest"):
-        return _solve_impl(qp, v0, y0_knot, y0_end, settings)
+        return _solve_impl(qp, v0, y0_knot, y0_end, settings, rho0)
 
 
 def _solve_impl(qp: PathQP, v0, y0_knot, y0_end,
-                settings: QPSettings) -> PathQPSolution:
+                settings: QPSettings, rho0=None) -> PathQPSolution:
     st = settings
     N = qp.p_diag.shape[0]
     dt = qp.p_diag.dtype
@@ -67,7 +73,8 @@ def _solve_impl(qp: PathQP, v0, y0_knot, y0_end,
         C, W = btridiag.factor(diag, off)
         return rk, re, C, W
 
-    rho_bar0 = jnp.asarray(st.rho_bar, dt)
+    rho_bar0 = (jnp.asarray(st.rho_bar, dt) if rho0 is None
+                else jnp.asarray(rho0, dt))
     rk0, re0, C0, W0 = factor(rho_bar0)
 
     v = jnp.zeros((N, assembly.NB), dt) if v0 is None else v0
@@ -144,13 +151,13 @@ def _solve_impl(qp: PathQP, v0, y0_knot, y0_end,
     v, zk, ze, yk, ye = out[:5]
     it, conv, pri, dua = out[10], out[11], out[12], out[13]
     return PathQPSolution(v=v, y_knot=yk, y_end=ye, iters=it, converged=conv,
-                          pri_res=pri, dua_res=dua)
+                          pri_res=pri, dua_res=dua, rho_bar=out[9])
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
 def solve_path_qp_batched(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
-                          settings: QPSettings = QPSettings()
-                          ) -> PathQPSolution:
+                          settings: QPSettings = QPSettings(),
+                          rho0=None) -> PathQPSolution:
     """Batched structured solver: every ``qp`` field has a leading batch axis.
 
     Differences from ``vmap(solve_path_qp)`` that matter on TPU:
@@ -166,11 +173,11 @@ def solve_path_qp_batched(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
       base_solver.cpp:97-117) — see ``_solve_batched_impl``.
     """
     with jax.default_matmul_precision("highest"):
-        return _solve_batched_impl(qp, v0, y0_knot, y0_end, settings)
+        return _solve_batched_impl(qp, v0, y0_knot, y0_end, settings, rho0)
 
 
 def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
-                        settings: QPSettings) -> PathQPSolution:
+                        settings: QPSettings, rho0=None) -> PathQPSolution:
     """Chunked driver. When the fused kernels engage (TPU backends) and the
     batch spans several 128-lane chunks, each chunk runs its OWN while_loop
     (via ``lax.map``), so a chunk whose lanes all converged stops paying
@@ -186,10 +193,11 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
     # rounds); kernel parity on CPU is covered by dedicated interpret tests.
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if not (st.fused_rounds and on_tpu):
-        return _solve_chunk_xla(qp, v0, y0_knot, y0_end, settings)
+        return _solve_chunk_xla(qp, v0, y0_knot, y0_end, settings, rho0)
     ch = 128  # fused_rounds._MAX_LANES — one hardware lane tile per chunk
     if B <= ch or B % ch != 0:
-        return _solve_chunk_fused(qp, v0, y0_knot, y0_end, settings)
+        return _solve_chunk_fused(qp, v0, y0_knot, y0_end, settings,
+                                  rho0=rho0)
 
     N = qp.p_diag.shape[1]
     dtp = qp.p_diag.dtype
@@ -199,13 +207,16 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
         y0_knot = with_vma_of(jnp.zeros((B, N, 6), dtp), qp)
     if y0_end is None:
         y0_end = with_vma_of(jnp.zeros((B, 2), dtp), qp)
+    if rho0 is None:
+        rho0 = with_vma_of(jnp.full((B,), st.rho_bar, dtp), qp)
     nc = B // ch
     resh = lambda a: a.reshape((nc, ch) + a.shape[1:])
-    chunked = jax.tree_util.tree_map(resh, (qp, v0, y0_knot, y0_end))
+    chunked = jax.tree_util.tree_map(resh, (qp, v0, y0_knot, y0_end, rho0))
 
     def run(args):
-        qp_i, v0_i, yk_i, ye_i = args
-        return _solve_chunk_fused(qp_i, v0_i, yk_i, ye_i, settings)
+        qp_i, v0_i, yk_i, ye_i, rho_i = args
+        return _solve_chunk_fused(qp_i, v0_i, yk_i, ye_i, settings,
+                                  rho0=rho_i)
 
     sol = jax.lax.map(run, chunked)
     return jax.tree_util.tree_map(
@@ -213,7 +224,7 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
 
 
 def _solve_chunk_fused(qp: PathQP, v0, y0_knot, y0_end,
-                       settings: QPSettings) -> PathQPSolution:
+                       settings: QPSettings, rho0=None) -> PathQPSolution:
     """One (<= 128-lane) chunk through the fused Pallas round/factor kernels.
 
     All loop state is carried LANE-MAJOR ((N, 6, B), batch on the lanes)
@@ -255,7 +266,8 @@ def _solve_chunk_fused(qp: PathQP, v0, y0_knot, y0_end,
 
     # Carry inits inherit the vma type of the problem data (check_vma support
     # under shard_map; jaxutil.with_vma_of).
-    rho_bar0 = with_vma_of(jnp.full((B,), st.rho_bar, dt), qp)
+    rho_bar0 = (with_vma_of(jnp.full((B,), st.rho_bar, dt), qp)
+                if rho0 is None else jnp.asarray(rho0, dt))
     rk0, re0, Ci0, W0 = factor(rho_bar0)
 
     v = (with_vma_of(jnp.zeros((B, N, assembly.NB), dt), qp)
@@ -327,11 +339,11 @@ def _solve_chunk_fused(qp: PathQP, v0, y0_knot, y0_end,
     it, conv, pri, dua = out[10], out[11], out[12], out[13]
     return PathQPSolution(v=unlane(out[0]), y_knot=unlane(out[3]),
                           y_end=unlane(out[4]), iters=it, converged=conv,
-                          pri_res=pri, dua_res=dua)
+                          pri_res=pri, dua_res=dua, rho_bar=out[9])
 
 
 def _solve_chunk_xla(qp: PathQP, v0, y0_knot, y0_end,
-                     settings: QPSettings) -> PathQPSolution:
+                     settings: QPSettings, rho0=None) -> PathQPSolution:
     """Batch-global XLA rounds (non-TPU backends / fused_rounds=False)."""
     st = settings
     B, N = qp.p_diag.shape[0], qp.p_diag.shape[1]
@@ -354,7 +366,8 @@ def _solve_chunk_xla(qp: PathQP, v0, y0_knot, y0_end,
 
     # Carry inits inherit the vma type of the problem data (check_vma support
     # under shard_map; jaxutil.with_vma_of).
-    rho_bar0 = with_vma_of(jnp.full((B,), st.rho_bar, dt), qp)
+    rho_bar0 = (with_vma_of(jnp.full((B,), st.rho_bar, dt), qp)
+                if rho0 is None else jnp.asarray(rho0, dt))
     rk0, re0, Ci0, W0 = factor(rho_bar0)
 
     v = (with_vma_of(jnp.zeros((B, N, assembly.NB), dt), qp)
@@ -445,4 +458,4 @@ def _solve_chunk_xla(qp: PathQP, v0, y0_knot, y0_end,
     v, zk, ze, yk, ye = out[:5]
     it, conv, pri, dua = out[10], out[11], out[12], out[13]
     return PathQPSolution(v=v, y_knot=yk, y_end=ye, iters=it, converged=conv,
-                          pri_res=pri, dua_res=dua)
+                          pri_res=pri, dua_res=dua, rho_bar=out[9])
