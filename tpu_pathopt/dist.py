@@ -49,10 +49,15 @@ def init_distributed(coordinator_address: str | None = None,
         return jax.process_count()
     if coordinator_address is None and num_processes in (None, 1):
         return 1
+    # shutdown_timeout: a host that finishes its last batch early waits at
+    # the coordination shutdown barrier for the stragglers; the 300 s
+    # default is too tight when hosts' workloads (or compiles) are skewed —
+    # observed flaking the 2-process CI test under CPU contention.
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes,
                                process_id=process_id,
-                               local_device_ids=local_device_ids)
+                               local_device_ids=local_device_ids,
+                               shutdown_timeout_seconds=1200)
     return jax.process_count()
 
 
