@@ -267,11 +267,12 @@ def _solve_chunk_fused(qp: PathQP, v0, y0_knot, y0_end,
     # Carry inits inherit the vma type of the problem data (check_vma support
     # under shard_map; jaxutil.with_vma_of).
     # A caller-supplied rho0 may be a plain constant (e.g. rho_bar_path) —
+    # broadcast it to the (B,) per-element shape the factor math expects and
     # fold the problem's vma type in so the while-loop carry types check
     # under shard_map(check_vma=True).
     rho_bar0 = with_vma_of(
         jnp.full((B,), st.rho_bar, dt) if rho0 is None
-        else jnp.asarray(rho0, dt), qp)
+        else jnp.broadcast_to(jnp.asarray(rho0, dt), (B,)), qp)
     rk0, re0, Ci0, W0 = factor(rho_bar0)
 
     v = (with_vma_of(jnp.zeros((B, N, assembly.NB), dt), qp)
@@ -371,11 +372,12 @@ def _solve_chunk_xla(qp: PathQP, v0, y0_knot, y0_end,
     # Carry inits inherit the vma type of the problem data (check_vma support
     # under shard_map; jaxutil.with_vma_of).
     # A caller-supplied rho0 may be a plain constant (e.g. rho_bar_path) —
+    # broadcast it to the (B,) per-element shape the factor math expects and
     # fold the problem's vma type in so the while-loop carry types check
     # under shard_map(check_vma=True).
     rho_bar0 = with_vma_of(
         jnp.full((B,), st.rho_bar, dt) if rho0 is None
-        else jnp.asarray(rho0, dt), qp)
+        else jnp.broadcast_to(jnp.asarray(rho0, dt), (B,)), qp)
     rk0, re0, Ci0, W0 = factor(rho_bar0)
 
     v = (with_vma_of(jnp.zeros((B, N, assembly.NB), dt), qp)
