@@ -65,10 +65,14 @@ def _draw_footprints(ax, x, y, heading, config, every=8):
 
 
 def plot_result(gm, result, scenario=None, path_out="path.png", title=None,
-                config=None):
+                config=None, zoom=True):
     """Render ESDF + optimized path (+ raw points / start / target), the
     per-knot collision corridor, vehicle footprints and the blocked-state
-    marker — the reference demo's full debugging surface (demo.cpp:213-375)."""
+    marker — the reference demo's full debugging surface (demo.cpp:213-375).
+
+    ``zoom`` frames the view on the path (+ corridor margin) instead of the
+    whole map — the PNG equivalent of zooming the RViz camera; pass False
+    for the full-map overview."""
     esdf = np.asarray(gm.esdf)[:int(gm.n_rows), :int(gm.n_cols)]
     r, c = esdf.shape
     hx, hy = _extent(gm)
@@ -92,6 +96,17 @@ def plot_result(gm, result, scenario=None, path_out="path.png", title=None,
         ax.plot(x[-1], y[-1], "rx", ms=14, mew=3, zorder=5, label="BLOCKED")
     sc = ax.scatter(x, y, c=np.abs(k), s=6, cmap="plasma", zorder=3)
     fig.colorbar(sc, ax=ax, label="|curvature| [1/m]", shrink=0.6)
+    if zoom and nv:
+        # Frame the path + corridor (bounds reach up to ~12 m laterally);
+        # the x axis is drawn descending (grid_map convention).
+        zx = [x.min(), x.max()]
+        zy = [y.min(), y.max()]
+        if scenario is not None:
+            zx += [float(scenario.start_x), float(scenario.target_x)]
+            zy += [float(scenario.start_y), float(scenario.target_y)]
+        m = 13.0
+        ax.set_xlim(max(zx) + m, min(zx) - m)
+        ax.set_ylim(min(zy) - m, max(zy) + m)
     if scenario is not None:
         n_raw = int(scenario.n_raw)
         ax.plot(np.asarray(scenario.raw_x)[:n_raw],
