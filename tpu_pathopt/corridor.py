@@ -9,10 +9,16 @@ reachable layer, and widen each backtracked node's lateral corridor by
 ESDF ray-marching (:250-287). The resulting per-layer (lower, upper) corridor
 feeds the post-smoothing QP.
 
-Everything is fixed-shape: L static layers x K static laterals, a ``lax.scan``
-over layers for the DP (the lateral dimension is fully vectorized, K x K edge
-costs per step), a reverse scan for backtracking, and masked fixed-iteration
-marches for the corridor expansion.
+Everything is fixed-shape: L static layers x K static laterals, a reverse
+scan for backtracking, and masked fixed-iteration marches for the corridor
+expansion. The layer-sequential DP forward pass (sequential because the
+angle-change cost needs the parent's incoming edge direction) is split out
+behind :func:`dp_forward_batched`: one fused Pallas kernel over the whole
+scenario batch on TPU (grid step = layer, frontier in VMEM scratch,
+precomputed edge blocks streaming in), a ``lax.scan`` elsewhere — both
+bit-identical. All state-independent edge costs (directions, ref-angle
+term, |dl| <= ds gate, node feasibility/self costs) are precomputed
+vectorized over every (L-1, K_prev, K) at once in :func:`prepare_lattice`.
 
 ``search_corridor_astar`` rebuilds the reference's A* variant (graphSearch,
 :297-484, with getG :91-105 and getH :645-651). The reference's heuristic
