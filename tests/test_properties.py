@@ -90,3 +90,25 @@ def test_path_is_collision_free(mixed_batch):
         one = jax.tree_util.tree_map(lambda a: a[b], res)
         frac = float(collision.path_collision_free(gm, car, one))
         assert frac >= 0.95, f"scenario {b}: only {frac:.2f} collision-free"
+
+
+def test_batch_permutation_invariance(mixed_batch):
+    """The pipeline sorts scenarios twice internally (corridor-width order
+    for QP pass 1, pass-1 iterations for pass 2) and scatters results back;
+    per-scenario outputs must therefore be IDENTICAL regardless of the
+    caller's batch order. Guards the order/inverse bookkeeping — a silent
+    mis-permutation would assign solutions to the wrong scenarios."""
+    import jax
+    from tpu_pathopt import pipeline
+
+    gm, scs, res, _ = mixed_batch
+    B = int(scs.n_raw.shape[0])
+    rng = np.random.default_rng(11)
+    perm = rng.permutation(B)
+    inv = np.argsort(perm)
+    scs_p = jax.tree_util.tree_map(lambda a: a[perm], scs)
+    res_p = pipeline.solve_batch_jit(gm, scs_p, CFG)
+    for name in ("l", "k", "x", "y", "n_valid", "ok", "qp_iters"):
+        a = np.asarray(getattr(res, name))
+        b = np.asarray(getattr(res_p, name))[inv]
+        np.testing.assert_array_equal(a, b, err_msg=name)
