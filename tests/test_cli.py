@@ -97,3 +97,15 @@ def test_viz_draws_corridor_and_footprints(tmp_path):
     out2 = tmp_path / "blocked.png"
     viz.plot_result(gm_wall, res_blocked, sc, path_out=str(out2), config=cfg)
     assert out2.exists() and out2.stat().st_size > 0
+
+
+def test_cli_method_flags(tmp_path, capsys):
+    """The reference demo is configured through gflags on its command line
+    (--smoothing_method, planning_flags.cpp:27); the CLI must expose the
+    live method toggles the same way."""
+    out = tmp_path / "demo_tension_astar.png"
+    cli.main(["--synthetic", "--small", "--smoothing-method", "TENSION",
+              "--corridor-method", "ASTAR", "--out", str(out)])
+    text = capsys.readouterr().out
+    assert "solve: ok=True" in text
+    assert out.exists() and out.stat().st_size > 0

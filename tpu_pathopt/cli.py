@@ -77,6 +77,17 @@ def main(argv=None):
                              "path_optimizer.cpp:41-69)")
     parser.add_argument("--small", action="store_true",
                         help="small static shapes (fast compile preview)")
+    # The reference demo is driven by gflags on its command line
+    # (--smoothing_method etc., planning_flags.cpp); expose the live method
+    # toggles the same way.
+    parser.add_argument("--smoothing-method", choices=["TENSION", "TENSION2"],
+                        default="TENSION2",
+                        help="reference FLAGS_smoothing_method "
+                             "(planning_flags.cpp:27)")
+    parser.add_argument("--corridor-method", choices=["DP", "ASTAR"],
+                        default="DP",
+                        help="DP (graphSearchDp, the reference's live path) "
+                             "or the A* variant")
     args = parser.parse_args(argv)
 
     if args.cpu:
@@ -90,9 +101,11 @@ def main(argv=None):
     from tpu_pathopt import pipeline, viz
     from tpu_pathopt.config import PlannerConfig
 
+    method_kw = dict(smoothing_method=args.smoothing_method,
+                     corridor_method=args.corridor_method)
     cfg = (PlannerConfig(n_knots=64, n_segment_points=32, dp_layers=24,
-                         bspline_samples=64, qp_max_iter=1000)
-           if args.small else PlannerConfig())
+                         bspline_samples=64, qp_max_iter=1000, **method_kw)
+           if args.small else PlannerConfig(**method_kw))
     if args.map:
         gm = load_png_map(args.map, args.resolution)
         # Default demo route: a wide corridor of the reference's gridmap.png
