@@ -180,14 +180,27 @@ def test_stage_parity(results, name):
     assert np.max(np.abs(ref.k[0][:mv] - o["ref"]["k"][:mv])) < 5e-4
 
     # Collision bounds: exact except single 0.05 m fine-march flips on a few
-    # knots; near the blockage (last knots) the corridor collapse is
-    # threshold-sensitive, so the tail is excluded from the quantized check.
-    core = slice(0, mv - 15 if o["bounds"]["blocked"] else mv)
+    # knots. Near the blockage (last knots of a blocked route) the corridor
+    # is collapsing and a handful of knots sit on f32 razor edges: a 1-ulp
+    # position difference across the 0.5 m clearance cutoff flips a march
+    # step (or the in-collision gate, reference_path_impl.cpp:240-247), and
+    # which knots flip changes with ANY recompilation (fusion order moves
+    # the rounding). Measured on this route the tail is <= one fine quantum
+    # on all but <= 3 knots. So instead of skipping the whole tail (rounds
+    # 1-4): every tail knot except at most 3 razor-edge outliers must be
+    # within one fine quantum, most must be tight, and the blocked index
+    # itself is pinned within one knot by the n_valid check above.
+    n_tail = 15 if o["bounds"]["blocked"] else 0
+    core = slice(0, mv - n_tail)
     for pipe_b, orac_b in ((cb.front_lb, "front_lb"), (cb.front_ub, "front_ub"),
                            (cb.rear_lb, "rear_lb"), (cb.rear_ub, "rear_ub")):
-        diff = np.abs(pipe_b[0][:mv][core] - o["bounds"][orac_b][:mv][core])
-        assert np.max(diff) < 0.05 + 2e-3, orac_b
-        assert np.mean(diff < 2e-3) >= 0.9, orac_b
+        diff = np.abs(pipe_b[0][:mv] - o["bounds"][orac_b][:mv])
+        assert np.max(diff[core]) < 0.05 + 2e-3, orac_b
+        assert np.mean(diff[core] < 2e-3) >= 0.9, orac_b
+        if n_tail:
+            tail = np.sort(diff[mv - n_tail:])
+            assert tail[-4] < 0.05 + 2e-3, (orac_b, tail)   # <= 3 outliers
+            assert np.mean(tail < 2e-3) >= 0.6, (orac_b, tail)
 
     # Both QP passes converged on both sides.
     assert bool(sol1.converged[0]) and bool(sol2.converged[0])

@@ -107,14 +107,36 @@ class DpLattice:
     dir0: jax.Array        # (K,) layer-0 incoming direction (start heading)
 
 
-def prepare_lattice(gm: maps.GridMap, xs: splines.CubicSpline,
-                    ys: splines.CubicSpline, length, start_x, start_y,
-                    start_heading, config: PlannerConfig) -> DpLattice:
+@flax.struct.dataclass
+class _LatticeGeom:
+    """Lattice geometry shared verbatim by the DP and A* variants
+    (reference :148-199 vs :304-347 — the construction differs only in the
+    feasibility rule, which stays in each caller)."""
+
+    layers_s: jax.Array    # (L,)
+    n_layers: jax.Array    # () int32
+    vehicle_l: jax.Array   # ()
+    ok: jax.Array          # () bool
+    lat: jax.Array         # (K,) lateral offsets
+    ref_x: jax.Array       # (L,)
+    ref_y: jax.Array
+    ref_h: jax.Array
+    ref_k: jax.Array       # (L,) reference curvature at the layers
+    ref_r: jax.Array       # (L,) signed turn radius 1/k (epsilon-clamped)
+    node_x: jax.Array      # (L, K) lattice node positions
+    node_y: jax.Array
+    dis: jax.Array         # (L, K) node clearance (-1 outside the map)
+
+
+def _build_lattice_geom(gm: maps.GridMap, xs: splines.CubicSpline,
+                        ys: splines.CubicSpline, length, start_x, start_y,
+                        config: PlannerConfig) -> _LatticeGeom:
+    """Layers, vehicle projection and node sampling (reference :148-199;
+    the A* variant repeats the same construction at :304-347)."""
     cfg = config
     L = cfg.dp_layers
     K = cfg.dp_laterals
     lat_range = cfg.search_lateral_range
-    lat_ds = cfg.search_lateral_spacing
     dt = jnp.float32
 
     # --- Layer longitudinal positions (:148-158) ---
@@ -134,11 +156,9 @@ def prepare_lattice(gm: maps.GridMap, xs: splines.CubicSpline,
     ph = splines.heading(xs, ys, proj_s)
     _, vehicle_l, _ = global_to_local(px, py, ph, start_x, start_y)
     ok = jnp.abs(vehicle_l) <= lat_range
-    start_idx = ((lat_range + vehicle_l) / lat_ds).astype(jnp.int32)
-    start_idx = jnp.clip(start_idx, 0, K - 1)
 
-    # --- Lattice nodes (:171-226) ---
-    lat = -lat_range + lat_ds * jnp.arange(K, dtype=dt)      # (K,)
+    # --- Lattice nodes (:171-199) ---
+    lat = -lat_range + cfg.search_lateral_spacing * jnp.arange(K, dtype=dt)
     ref_x = splines.evaluate(xs, layers_s)                    # (L,)
     ref_y = splines.evaluate(ys, layers_s)
     ref_h = splines.heading(xs, ys, layers_s)
@@ -147,15 +167,50 @@ def prepare_lattice(gm: maps.GridMap, xs: splines.CubicSpline,
                                    ref_h[:, None], lat[None, :])   # (L, K)
     inside = maps.is_inside(gm, node_x, node_y)
     dis = jnp.where(inside, maps.obstacle_distance(gm, node_x, node_y), -1.0)
-    threshold = cfg.car_width / 2.0 + 0.2
     # Signed turn radius 1/k (reference :182 divides raw). The epsilon clamp
     # must preserve the sign: substituting +1e-9 for a tiny *negative* k flips
     # ref_r to +1e9 while the (ref_k < 0) branch still fires, marking every
     # node infeasible (caught by the float64 gridmap parity oracle).
     ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9,
                             jnp.where(ref_k < 0, -1e-9, 1e-9), ref_k)
-    radius_bad = ((ref_k[:, None] < 0) & (lat[None, :] < ref_r[:, None])) | \
-                 ((ref_k[:, None] > 0) & (lat[None, :] > ref_r[:, None]))
+    return _LatticeGeom(layers_s=layers_s, n_layers=n_layers,
+                        vehicle_l=vehicle_l.astype(dt), ok=ok, lat=lat,
+                        ref_x=ref_x, ref_y=ref_y, ref_h=ref_h,
+                        ref_k=ref_k, ref_r=ref_r,
+                        node_x=node_x, node_y=node_y, dis=dis)
+
+
+def _rough_bounds(feasible, lat, L, K):
+    """Per-layer rough (lb, ub) from lateral feasibility contiguity
+    (reference :210-226 / :349-361)."""
+    lat_grid = jnp.broadcast_to(lat, (L, K))
+    return (_hold_from_run_start(feasible, lat_grid, reverse=False),
+            _hold_from_run_start(feasible, lat_grid, reverse=True))
+
+
+def prepare_lattice(gm: maps.GridMap, xs: splines.CubicSpline,
+                    ys: splines.CubicSpline, length, start_x, start_y,
+                    start_heading, config: PlannerConfig) -> DpLattice:
+    cfg = config
+    L = cfg.dp_layers
+    K = cfg.dp_laterals
+    lat_range = cfg.search_lateral_range
+    dt = jnp.float32
+
+    g = _build_lattice_geom(gm, xs, ys, length, start_x, start_y, cfg)
+    layers_s, n_layers = g.layers_s, g.n_layers
+    lat, dis = g.lat, g.dis
+    ref_x, ref_y, ref_h = g.ref_x, g.ref_y, g.ref_h
+    start_idx = ((lat_range + g.vehicle_l)
+                 / cfg.search_lateral_spacing).astype(jnp.int32)
+    start_idx = jnp.clip(start_idx, 0, K - 1)
+
+    # --- DP feasibility rule (:176-205): clearance threshold + the turn
+    # radius marking nodes infeasible ---
+    threshold = cfg.car_width / 2.0 + 0.2
+    radius_bad = \
+        ((g.ref_k[:, None] < 0) & (lat[None, :] < g.ref_r[:, None])) | \
+        ((g.ref_k[:, None] > 0) & (lat[None, :] > g.ref_r[:, None]))
     # The reference samples offsets in [-range, range] only (:176-179); the
     # static K-wide grid can overshoot by one spacing step, so mask it.
     feasible = ~(radius_bad | (dis < threshold)) & (lat[None, :] <= lat_range)
@@ -164,9 +219,7 @@ def prepare_lattice(gm: maps.GridMap, xs: splines.CubicSpline,
     feasible = feasible.at[0].set(k_idx == start_idx)
 
     # --- Rough per-layer bounds over the lateral axis (:210-226) ---
-    lat_grid = jnp.broadcast_to(lat, (L, K))
-    rough_lb = _hold_from_run_start(feasible, lat_grid, reverse=False)
-    rough_ub = _hold_from_run_start(feasible, lat_grid, reverse=True)
+    rough_lb, rough_ub = _rough_bounds(feasible, lat, L, K)
 
     # --- State-independent DP edge costs (:228-238 + calculateCostAt
     # :107-140), vectorized over all (L-1, K_prev, K) at once: directions,
@@ -181,8 +234,8 @@ def prepare_lattice(gm: maps.GridMap, xs: splines.CubicSpline,
 
     in_mask = jnp.arange(1, L) < n_layers
     feas_in = feasible[1:] & in_mask[:, None]
-    dir_all = jnp.arctan2(node_y[1:, None, :] - node_y[:-1, :, None],
-                          node_x[1:, None, :] - node_x[:-1, :, None])
+    dir_all = jnp.arctan2(g.node_y[1:, None, :] - g.node_y[:-1, :, None],
+                          g.node_x[1:, None, :] - g.node_x[:-1, :, None])
     term2 = jnp.abs(constrain_angle(dir_all - ref_h[1:, None, None])) \
         / (jnp.pi / 2) * cfg.dp_weight_ref_angle_diff
     lat_ok = (jnp.abs(lat[None, None, :] - lat[None, :, None])
@@ -193,7 +246,7 @@ def prepare_lattice(gm: maps.GridMap, xs: splines.CubicSpline,
     cost0 = jnp.where(k_idx == start_idx, 0.0, _INF)
     dir0 = jnp.full((K,), start_heading, dt)
     return DpLattice(layers_s=layers_s, n_layers=n_layers,
-                     vehicle_l=vehicle_l.astype(dt), ok=ok,
+                     vehicle_l=g.vehicle_l, ok=g.ok,
                      ref_x=ref_x, ref_y=ref_y, ref_h=ref_h,
                      rough_lb=rough_lb, rough_ub=rough_ub,
                      dir_all=dir_all, base_all=base_all,
@@ -377,59 +430,49 @@ def dp_forward_batched(lat: DpLattice, config: PlannerConfig):
         lat.dir_all, lat.base_all, lat.ref_h[:, 1:], lat.cost0, lat.dir0)
 
 
-def finish_corridor(gm: maps.GridMap, lat: DpLattice, costs, parents, alives,
-                    config: PlannerConfig) -> Corridor:
-    """Backtrack + corridor expansion (:240-287) from a DP forward pass."""
-    cfg = config
-    L = cfg.dp_layers
-    K = cfg.dp_laterals
-    dt = jnp.float32
-    threshold = cfg.car_width / 2.0 + 0.2
-    n_layers = lat.n_layers
-    layers_s = lat.layers_s
-    ref_x, ref_y, ref_h = lat.ref_x, lat.ref_y, lat.ref_h
-
-    costs = jnp.concatenate([lat.cost0[None], costs])          # (L, K)
-    parents = jnp.concatenate([jnp.zeros((1, K), jnp.int32), parents])
-    alives = jnp.concatenate([jnp.asarray([True]), alives])    # (L,)
-
-    max_layer = jnp.max(jnp.where(alives & (jnp.arange(L) < n_layers),
-                                  jnp.arange(L), 0))
-
-    # --- Backtrack (:240-287) ---
-    best_k_last = jnp.argmin(costs[max_layer])
+def _backtrack(parents, max_layer, best_k_last, L, K):
+    """Reverse scan from the best node in the deepest reached layer
+    (reference :240-287 / :430-447). One-hot parent selects instead of
+    dynamic gathers (see _dp_forward_scan)."""
 
     def back_step(k_next, inp):
         layer_idx, parent_row = inp
         on_path = layer_idx <= max_layer
         k = jnp.where(layer_idx == max_layer, best_k_last, k_next)
-        # One-hot select instead of a dynamic gather (see _dp_forward_scan).
         k_prev = jnp.sum(jnp.where(jnp.arange(K) == k, parent_row, 0))
-        return jnp.where(on_path, k_prev, k_next), (k, on_path)
+        return jnp.where(on_path, k_prev, k_next), k
 
-    _, (path_k, on_path) = jax.lax.scan(
-        back_step, best_k_last, (jnp.arange(L), parents), reverse=True)
+    _, path_k = jax.lax.scan(back_step, best_k_last,
+                             (jnp.arange(L), parents), reverse=True)
+    return path_k
 
-    # --- Corridor expansion around the backtracked nodes (:250-287) ---
-    node_lb = jnp.take_along_axis(lat.rough_lb, path_k[:, None], 1)[:, 0]
-    node_ub = jnp.take_along_axis(lat.rough_ub, path_k[:, None], 1)[:, 0]
-    node_h = ref_h  # node heading := ref heading per layer (:189)
 
-    def expand(base, sign):
-        # March from `base` in steps of sign*0.2 while |pos| < 6 and the ESDF
-        # clearance at the lattice point stays above the threshold; on the
-        # first failure step back once (reference loop semantics :260-283).
+def _expand_corridor(gm, ref_x, ref_y, ref_h, rough_lb, rough_ub, path_k,
+                     max_layer, thr_up, thr_lo):
+    """Corridor expansion around the backtracked nodes (reference :250-287;
+    the A* variant repeats it with asymmetric thresholds at :449-484):
+    march from each node's rough bound in 0.2 m steps while |pos| < 6 m and
+    the ESDF clearance at the lattice point stays above the threshold; on
+    the first failure step back once (reference loop semantics :260-283).
+    Layer 0 gets the full +-10 m range (:251-252); layers beyond the
+    backtracked path are masked to 0. Returns (lower, upper)."""
+    dt = jnp.float32
+    L = ref_x.shape[0]
+    node_lb = jnp.take_along_axis(rough_lb, path_k[:, None], 1)[:, 0]
+    node_ub = jnp.take_along_axis(rough_ub, path_k[:, None], 1)[:, 0]
+
+    def expand(base, sign, threshold):
         t = jnp.arange(_EXPAND_STEPS, dtype=dt)
         cand = base[:, None] + sign * _CHECK_S * t[None, :]    # (L, T)
         within = (sign * cand) < _CHECK_LIMIT
         cx, cy = normal_offset(ref_x[:, None], ref_y[:, None],
-                               node_h[:, None], cand)
+                               ref_h[:, None], cand)
         good = maps.is_inside(gm, cx, cy) & \
             (maps.obstacle_distance(gm, cx, cy) > threshold)
         fail = within & ~good
         first_fail = jnp.argmax(
-            jnp.concatenate([fail, jnp.ones((L, 1), bool)], 1).astype(jnp.int32),
-            axis=1)
+            jnp.concatenate([fail, jnp.ones((L, 1), bool)], 1)
+            .astype(jnp.int32), axis=1)
         exited = first_fail >= jnp.sum(within.astype(jnp.int32), axis=1)
         # Fail at step t* -> base + sign*0.2*(t*-1); no fail -> first step
         # beyond the 6 m limit (loop exits without stepping back).
@@ -438,17 +481,36 @@ def finish_corridor(gm: maps.GridMap, lat: DpLattice, costs, parents, alives,
         result_exit = base + sign * _CHECK_S * n_within.astype(dt)
         return jnp.where(exited, result_exit, result_fail)
 
-    upper = expand(node_ub + _CHECK_S, +1.0)
-    lower = expand(node_lb - _CHECK_S, -1.0)
-    # Layer 0: full range (:251-252).
+    upper = expand(node_ub + _CHECK_S, +1.0, thr_up)
+    lower = expand(node_lb - _CHECK_S, -1.0, thr_lo)
     upper = upper.at[0].set(10.0)
     lower = lower.at[0].set(-10.0)
-    # Mask layers beyond the backtracked path.
     valid = jnp.arange(L) <= max_layer
-    upper = jnp.where(valid, upper, 0.0)
-    lower = jnp.where(valid, lower, 0.0)
+    return jnp.where(valid, lower, 0.0), jnp.where(valid, upper, 0.0)
 
-    return Corridor(layers_s=layers_s, lower=lower, upper=upper,
+
+def finish_corridor(gm: maps.GridMap, lat: DpLattice, costs, parents, alives,
+                    config: PlannerConfig) -> Corridor:
+    """Backtrack + corridor expansion (:240-287) from a DP forward pass."""
+    cfg = config
+    L = cfg.dp_layers
+    K = cfg.dp_laterals
+    threshold = cfg.car_width / 2.0 + 0.2
+
+    costs = jnp.concatenate([lat.cost0[None], costs])          # (L, K)
+    parents = jnp.concatenate([jnp.zeros((1, K), jnp.int32), parents])
+    alives = jnp.concatenate([jnp.asarray([True]), alives])    # (L,)
+
+    max_layer = jnp.max(jnp.where(alives & (jnp.arange(L) < lat.n_layers),
+                                  jnp.arange(L), 0))
+    best_k_last = jnp.argmin(costs[max_layer])
+    path_k = _backtrack(parents, max_layer, best_k_last, L, K)
+    # Node heading := ref heading per layer (:189); DP thresholds symmetric.
+    lower, upper = _expand_corridor(
+        gm, lat.ref_x, lat.ref_y, lat.ref_h, lat.rough_lb, lat.rough_ub,
+        path_k, max_layer, threshold, threshold)
+
+    return Corridor(layers_s=lat.layers_s, lower=lower, upper=upper,
                     n_layers=(max_layer + 1).astype(jnp.int32),
                     vehicle_l=lat.vehicle_l, ok=lat.ok)
 
@@ -488,45 +550,25 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
     L = cfg.dp_layers
     K = cfg.dp_laterals
     lat_range = cfg.search_lateral_range
-    lat_ds = cfg.search_lateral_spacing
     dt = jnp.float32
     half_width = cfg.car_width * 0.5
 
-    # --- Layers (:304-311), identical to the DP variant ---
-    proj_s = splines.project(xs, ys, start_x, start_y, length,
-                             iters=cfg.newton_iters)
-    search_ds = jnp.where(length > 6.0, cfg.search_longitudinal_spacing, 0.5)
-    j = jnp.arange(L, dtype=dt)
-    n_interior = jnp.ceil((length - proj_s) / search_ds -
-                          1e-6).astype(jnp.int32)
-    n_layers = jnp.clip(n_interior + 1, 1, L)
-    layers_s = jnp.where(j < (n_layers - 1).astype(dt),
-                         proj_s + j * search_ds, length)
+    # Layers / vehicle projection / node sampling shared with the DP
+    # variant (:304-347 repeats :148-199 in the reference).
+    g = _build_lattice_geom(gm, xs, ys, length, start_x, start_y, cfg)
+    layers_s, n_layers = g.layers_s, g.n_layers
+    lat, dis = g.lat, g.dis
+    ref_x, ref_y, ref_h = g.ref_x, g.ref_y, g.ref_h
+    vehicle_l, ok = g.vehicle_l, g.ok
 
-    # --- Start node = actual vehicle pose (:322-329) ---
-    px = splines.evaluate(xs, proj_s)
-    py = splines.evaluate(ys, proj_s)
-    ph = splines.heading(xs, ys, proj_s)
-    _, vehicle_l, _ = global_to_local(px, py, ph, start_x, start_y)
-    ok = jnp.abs(vehicle_l) <= lat_range
-
-    # --- Lattice nodes; range clamped by the turn radius (:330-347) ---
-    lat = -lat_range + lat_ds * jnp.arange(K, dtype=dt)      # (K,)
-    ref_x = splines.evaluate(xs, layers_s)                    # (L,)
-    ref_y = splines.evaluate(ys, layers_s)
-    ref_h = splines.heading(xs, ys, layers_s)
-    ref_k = splines.curvature(xs, ys, layers_s)
-    node_x, node_y = normal_offset(ref_x[:, None], ref_y[:, None],
-                                   ref_h[:, None], lat[None, :])   # (L, K)
-    inside = maps.is_inside(gm, node_x, node_y)
-    dis = jnp.where(inside, maps.obstacle_distance(gm, node_x, node_y), -1.0)
-    # Sign-preserving epsilon clamp (see the DP variant above).
-    ref_r = 1.0 / jnp.where(jnp.abs(ref_k) < 1e-9,
-                            jnp.where(ref_k < 0, -1e-9, 1e-9), ref_k)
-    in_range = jnp.where(ref_r[:, None] > 0,
-                         lat[None, :] <= jnp.minimum(lat_range, ref_r[:, None]),
+    # --- A* feasibility rule (:330-347): the turn radius CLAMPS the
+    # sampling range (vs marking nodes infeasible in DP), and the clearance
+    # threshold is 1.2 * half_width (search_k, :345) ---
+    in_range = jnp.where(g.ref_r[:, None] > 0,
+                         lat[None, :] <= jnp.minimum(lat_range,
+                                                     g.ref_r[:, None]),
                          lat[None, :] >= jnp.maximum(-lat_range,
-                                                     ref_r[:, None]))
+                                                     g.ref_r[:, None]))
     # The static K-wide grid overshoots +lat_range by up to one spacing step;
     # the reference samples offsets in [-range, range] only (:332-339), so cap
     # both signs of curvature (mirrors the DP variant's mask above).
@@ -534,9 +576,7 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
     feasible = in_range & (dis > 1.2 * half_width)
 
     # --- Rough per-layer bounds from lateral contiguity (:349-361) ---
-    lat_grid = jnp.broadcast_to(lat, (L, K))
-    rough_lb = _hold_from_run_start(feasible, lat_grid, reverse=False)
-    rough_ub = _hold_from_run_start(feasible, lat_grid, reverse=True)
+    rough_lb, rough_ub = _rough_bounds(feasible, lat, L, K)
 
     # --- Per-node g increment = getG (:91-105): obstacle + deviation ---
     safety_distance = 5.0
@@ -588,51 +628,15 @@ def search_corridor_astar(gm: maps.GridMap, xs: splines.CubicSpline,
     max_layer = jnp.max(jnp.where(alives & (jnp.arange(L) < n_layers),
                                   jnp.arange(L), 0))
 
-    # --- Backtrack from min-g node in the deepest reached layer (:430-447;
-    # h is constant per layer so argmin f == argmin g) ---
+    # Backtrack from the min-g node in the deepest reached layer (:430-447;
+    # h is constant per layer so argmin f == argmin g), then expand with the
+    # A*'s asymmetric thresholds (:458 upper, :471 lower).
     best_k_last = jnp.argmin(gs[max_layer])
-
-    def back_step(k_next, inp):
-        layer_idx, parent_row = inp
-        on_path = layer_idx <= max_layer
-        k = jnp.where(layer_idx == max_layer, best_k_last, k_next)
-        # One-hot select instead of a dynamic gather (see relax_step).
-        k_prev = jnp.sum(jnp.where(jnp.arange(K) == k, parent_row, 0))
-        return jnp.where(on_path, k_prev, k_next), (k, on_path)
-
-    _, (path_k, _) = jax.lax.scan(
-        back_step, best_k_last, (jnp.arange(L), parents), reverse=True)
-
-    # --- Corridor expansion (:449-484): asymmetric thresholds ---
-    node_lb = jnp.take_along_axis(rough_lb, path_k[:, None], 1)[:, 0]
-    node_ub = jnp.take_along_axis(rough_ub, path_k[:, None], 1)[:, 0]
-
-    def expand(base, sign, threshold):
-        t = jnp.arange(_EXPAND_STEPS, dtype=dt)
-        cand = base[:, None] + sign * _CHECK_S * t[None, :]    # (L, T)
-        within = (sign * cand) < _CHECK_LIMIT
-        cx, cy = normal_offset(ref_x[:, None], ref_y[:, None],
-                               ref_h[:, None], cand)
-        good = maps.is_inside(gm, cx, cy) & \
-            (maps.obstacle_distance(gm, cx, cy) > threshold)
-        fail = within & ~good
-        first_fail = jnp.argmax(
-            jnp.concatenate([fail, jnp.ones((L, 1), bool)], 1).astype(jnp.int32),
-            axis=1)
-        exited = first_fail >= jnp.sum(within.astype(jnp.int32), axis=1)
-        n_within = jnp.sum(within.astype(jnp.int32), axis=1)
-        result_fail = base + sign * _CHECK_S * (first_fail.astype(dt) - 1.0)
-        result_exit = base + sign * _CHECK_S * n_within.astype(dt)
-        return jnp.where(exited, result_exit, result_fail)
-
-    upper = expand(node_ub + _CHECK_S, +1.0, 1.3 * half_width)
-    lower = expand(node_lb - _CHECK_S, -1.0, 1.2 * half_width)
-    upper = upper.at[0].set(10.0)
-    lower = lower.at[0].set(-10.0)
-    valid = jnp.arange(L) <= max_layer
-    upper = jnp.where(valid, upper, 0.0)
-    lower = jnp.where(valid, lower, 0.0)
+    path_k = _backtrack(parents, max_layer, best_k_last, L, K)
+    lower, upper = _expand_corridor(
+        gm, ref_x, ref_y, ref_h, rough_lb, rough_ub, path_k, max_layer,
+        1.3 * half_width, 1.2 * half_width)
 
     return Corridor(layers_s=layers_s, lower=lower, upper=upper,
                     n_layers=(max_layer + 1).astype(jnp.int32),
-                    vehicle_l=vehicle_l.astype(dt), ok=ok)
+                    vehicle_l=vehicle_l, ok=ok)
