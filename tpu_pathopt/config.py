@@ -110,10 +110,31 @@ class PlannerConfig:
     bspline_samples: int = 256  # max raw B-spline samples (@ ~1 m)
 
     # --- QP solver settings (base_solver.cpp:59-62) ---
+    # These are the user-level OSQP knobs the reference sets on its solver
+    # (eps_abs/eps_rel/max_iter + the residual-check interval). They are
+    # LIVE: every pipeline/dist entry point that takes ``settings=None``
+    # derives its ``QPSettings`` from them via :meth:`qp_settings`, so e.g.
+    # ``PlannerConfig(qp_max_iter=500)`` really caps the device solvers
+    # (pinned by tests/test_pipeline.py::test_config_qp_fields_are_live).
+    # Pass an explicit ``QPSettings`` only to reach the solver-internal
+    # knobs (rho policy, fused kernels, pscan).
     qp_eps_abs: float = 2e-3
     qp_eps_rel: float = 2e-3
     qp_max_iter: int = 4000
     qp_check_every: int = 25
+
+    def qp_settings(self, **overrides):
+        """The ``QPSettings`` implied by this config's qp_* fields.
+
+        One constructor so the user-level QP knobs cannot silently diverge
+        from what the device solvers run (the reference's dead-flag disease,
+        SURVEY.md §5.6, reproduced here in rounds 2-4 and fixed by this).
+        ``overrides`` reach any remaining ``QPSettings`` field."""
+        from tpu_pathopt.qp.admm import QPSettings
+        base = dict(eps_abs=self.qp_eps_abs, eps_rel=self.qp_eps_rel,
+                    max_iter=self.qp_max_iter, check_every=self.qp_check_every)
+        base.update(overrides)
+        return QPSettings(**base)
 
     def __post_init__(self):
         # The reference registers gflags validators for its method strings

@@ -45,7 +45,11 @@ def init_distributed(coordinator_address: str | None = None,
     No-op (returns current process count) when already initialized or when
     running single-process with no coordinator configured.
     """
-    if jax._src.distributed.global_state.client is not None:  # already up
+    try:                                    # public API where available
+        already_up = jax.distributed.is_initialized()
+    except AttributeError:                  # older jax: fall back
+        already_up = jax._src.distributed.global_state.client is not None
+    if already_up:
         return jax.process_count()
     if coordinator_address is None and num_processes in (None, 1):
         return 1
@@ -90,33 +94,41 @@ def pad_batch(scenarios: pipeline.Scenario, multiple: int):
     return scenarios, jnp.arange(Bp) < B, B
 
 
-@functools.lru_cache(maxsize=16)
 def _sharded_solver(mesh: Mesh, config: PlannerConfig, settings: QPSettings,
                     with_stats: bool = True):
     """Build (and cache) the jitted sharded solve for one (mesh, config,
     settings). Caching the jit wrapper is essential: a fresh ``@jax.jit``
     closure per call would retrace AND recompile the full pipeline on every
     ``solve_sharded`` call — streaming would pay the whole compile per batch.
-    """
+
+    Thin default-resolving wrapper so every call site hits the SAME
+    lru_cache key regardless of whether it spells out ``with_stats``
+    (positional defaults would otherwise split the cache and re-trace)."""
+    return _sharded_solver_cached(mesh, config, settings, with_stats)
+
+
+@functools.lru_cache(maxsize=16)
+def _sharded_solver_cached(mesh: Mesh, config: PlannerConfig,
+                           settings: QPSettings, with_stats: bool):
     # The jit wrapper is essential: an un-jitted shard_map evaluates its body
-    # eagerly per shard. check_vma is scoped to the one known blocker: on
-    # real TPU hardware the varying-axes checker reaches into the Pallas
-    # round kernels' in-kernel fori_loop carries and reports a carry-type
-    # mismatch the surrounding program cannot fix (the kernel jaxpr's ref
-    # loads/stores do not thread vma), so the checker must be OFF exactly
-    # when the fused kernels engage (TPU backend + fused_rounds). Everywhere
-    # else (CPU virtual meshes, fused_rounds=False) it stays ON to guard
-    # future collectives; the engine types its scan/while carries from
-    # problem data (jaxutil.with_vma_of) to satisfy it. Re-unify once Pallas
-    # threads vma through kernel carries.
-    fused_engaged = (settings.fused_rounds
-                     and jax.default_backend() in ("tpu", "axon"))
+    # eagerly per shard. check_vma is scoped to the one known blocker: the
+    # varying-axes checker reaches into Pallas kernels' jaxprs (the fused
+    # ADMM round kernels' in-kernel fori_loop carries, and the corridor DP
+    # forward kernel — corridor.dp_forward_batched engages on TPU backends
+    # regardless of ``fused_rounds``) and reports carry-type mismatches the
+    # surrounding program cannot fix (kernel ref loads/stores do not thread
+    # vma), so the checker is OFF whenever ANY Pallas kernel can engage,
+    # i.e. on TPU backends. On CPU meshes (virtual-device tests) it stays ON
+    # to guard future collectives; the engine types its scan/while carries
+    # from problem data (jaxutil.with_vma_of) to satisfy it. Re-unify once
+    # Pallas threads vma through kernel carries.
+    pallas_engaged = jax.default_backend() in ("tpu", "axon")
 
     @jax.jit
     @functools.partial(
         jax.shard_map,
         mesh=mesh,
-        check_vma=not fused_engaged,
+        check_vma=not pallas_engaged,
         in_specs=(P(), P("scenarios"), P("scenarios")),
         out_specs=(P("scenarios"), P()) if with_stats else P("scenarios"),
     )
@@ -147,7 +159,7 @@ def _sharded_solver(mesh: Mesh, config: PlannerConfig, settings: QPSettings,
 
 def solve_sharded(gm: maps.GridMap, scenarios: pipeline.Scenario,
                   config: PlannerConfig, mesh: Mesh,
-                  settings: QPSettings = QPSettings(), valid=None):
+                  settings: QPSettings | None = None, valid=None):
     """Solve a global batch sharded over the mesh. A batch that does not
     divide by the mesh size is padded by edge-replication and masked out of
     the fleet statistics; the result is sliced back to the caller's batch.
@@ -158,6 +170,8 @@ def solve_sharded(gm: maps.GridMap, scenarios: pipeline.Scenario,
     ``make_global_batch(..., uneven=True)``. Padded entries are edge
     replicas: they solve (fixed shapes) but are excluded from FleetStats and
     the result is NOT sliced (the caller holds the mask)."""
+    if settings is None:
+        settings = config.qp_settings()
     if valid is None:
         n_shards = int(np.prod(mesh.devices.shape))
         scenarios, valid, B = pad_batch(scenarios, n_shards)
@@ -238,20 +252,26 @@ class StreamStats:
 
 
 def solve_streamed(gm: maps.GridMap, scenario_batches, config: PlannerConfig,
-                   mesh: Mesh, settings: QPSettings = QPSettings(),
+                   mesh: Mesh, settings: QPSettings | None = None,
                    consume=None):
-    """Stream scenario batches through the sharded solver.
+    """Stream INDEPENDENT scenario batches through the sharded solver.
 
     ``scenario_batches`` yields equal-shaped ``pipeline.Scenario`` batches
     (each divisible by the mesh size, so one compilation serves the whole
-    stream — the multi-host analogue of OSQP's warm-started repeated solves,
-    SURVEY.md §5.4), or ``(batch, valid)`` pairs for pre-padded uneven
-    shards from ``make_global_batch(..., uneven=True)`` — a straggler host
-    with fewer scenarios streams masked padding instead of wedging the
-    fleet. Per-batch results are handed to ``consume`` (if given) while the
+    stream), or ``(batch, valid)`` pairs for pre-padded uneven shards from
+    ``make_global_batch(..., uneven=True)`` — a straggler host with fewer
+    scenarios streams masked padding instead of wedging the fleet. What is
+    carried across batches here is the COMPILATION only — batches are
+    unrelated queries. For repeated solves of the same EVOLVING queries
+    (the reference demo's 30 Hz loop) use ``tpu_pathopt.replan``, which
+    additionally carries the per-scenario solver state (v, y, rho) — the
+    true analogue of OSQP's warm-started repeated solves (SURVEY.md §5.4).
+    Per-batch results are handed to ``consume`` (if given) while the
     next batch executes; fleet statistics accumulate across the stream
     (padded entries excluded). Returns (StreamStats, wall seconds, solves/s).
     """
+    if settings is None:
+        settings = config.qp_settings()
     total = None
     t0 = time.time()
     prev = None
@@ -283,8 +303,8 @@ def solve_streamed(gm: maps.GridMap, scenario_batches, config: PlannerConfig,
 
 
 def measure_scaling(gm: maps.GridMap, make_batch, config: PlannerConfig,
-                    settings: QPSettings = QPSettings(), devices=None,
-                    per_shard: int = 8, reps: int = 3):
+                    settings: QPSettings | None = None, devices=None,
+                    per_shard: int = 8, reps: int = 10):
     """Weak-scaling measurement of the sharded solve, 1 device vs all, with a
     MATCHED per-device batch so batch-size amortization cannot confound the
     ratio: the 1-device mesh solves ``per_shard`` scenarios, the full mesh
@@ -307,35 +327,55 @@ def measure_scaling(gm: maps.GridMap, make_batch, config: PlannerConfig,
       hardware, and THIS ratio is the meaningful signal instead: ~1.0 means
       the sharded program runs at the machine ceiling with no sharding
       overhead.
+    - ``*_spread_frac``: per-measurement relative spread (half the
+      min->max range of the per-rep rates over the median). Any derived
+      ratio whose distance from its null value is within the combined
+      spread of its operands is NOISE and must be read as such — round 4
+      printed a -18% "collective overhead" from reps=3 with no variance
+      reporting, which this exists to prevent.
     """
+    if settings is None:
+        settings = config.qp_settings()
     devices = jax.devices() if devices is None else devices
     n_dev = len(devices)
 
     def timed(mesh, batch, with_stats=True):
+        """(median solves/s, relative half-spread of the per-rep rates)."""
         scs = make_batch(batch)
         scs, valid, _ = pad_batch(scs, int(np.prod(mesh.devices.shape)))
         run = _sharded_solver(mesh, config, settings, with_stats)
         res = run(gm, scs, valid)      # warm/compile
         jax.block_until_ready(res)
-        t0 = time.time()
+        rates = []
         for _ in range(reps):
+            t0 = time.time()
             res = run(gm, scs, valid)
             jax.block_until_ready(res)
-        return batch * reps / (time.time() - t0)
+            rates.append(batch / (time.time() - t0))
+        med = float(np.median(rates))
+        spread = float((np.max(rates) - np.min(rates)) / 2.0 / med)
+        return med, spread
 
     mesh1 = make_mesh(devices[:1])
     mesh_n = make_mesh(devices)
-    sps_1 = timed(mesh1, per_shard)
-    sps_n = timed(mesh_n, per_shard * n_dev)
-    sps_n_nostats = timed(mesh_n, per_shard * n_dev, with_stats=False)
+    sps_1, spr_1 = timed(mesh1, per_shard)
+    sps_n, spr_n = timed(mesh_n, per_shard * n_dev)
+    sps_n_nostats, spr_ns = timed(mesh_n, per_shard * n_dev, with_stats=False)
     per_dev_1 = sps_1
     per_dev_n = sps_n / n_dev
     eff = per_dev_n / per_dev_1 if per_dev_1 > 0 else 0.0
     overhead = (sps_n_nostats / sps_n - 1.0) if sps_n > 0 else 0.0
-    return {"n_devices": n_dev, "per_shard": per_shard,
+    # The overhead estimate subtracts two measurements; its noise floor is
+    # their combined spread.
+    overhead_noise = spr_n + spr_ns
+    return {"n_devices": n_dev, "per_shard": per_shard, "reps": reps,
             "per_dev_solves_per_s_1dev": per_dev_1,
             "per_dev_solves_per_s_full": per_dev_n,
             "solves_per_s_1dev": sps_1, "solves_per_s_full": sps_n,
+            "spread_frac_1dev": spr_1, "spread_frac_full": spr_n,
             "scaling_efficiency": eff,
             "collective_overhead_frac": overhead,
+            "collective_overhead_noise_frac": overhead_noise,
+            "collective_overhead_is_noise": bool(
+                abs(overhead) <= overhead_noise),
             "machine_ratio_full_vs_1dev": (sps_n / sps_1 if sps_1 else 0.0)}

@@ -242,10 +242,37 @@ def stage_geometry(gm: maps.GridMap, scs: Scenario, xs2, ys2, cor, l_post,
     return jax.vmap(late)(scs, xs2, ys2, cor, l_post)
 
 
+@flax.struct.dataclass
+class QPWarmStart:
+    """Path-QP solver state carried across REPEATED solves of an evolving
+    query — the TPU analogue of the reference demo's persistent OSQP solver
+    object in its 30 Hz replanning loop (demo.cpp:133-211 re-solves as the
+    vehicle advances; OSQP warm-starts from the previous solution,
+    base_solver.cpp:97-117). Produced by ``solve_batch_warm``; feed it back
+    on the next solve of the SAME (advanced) scenarios."""
+
+    v: jax.Array         # (B, N, 6) previous pass-2 primal iterate
+    y_knot: jax.Array    # (B, N, 6) duals (z layout)
+    y_end: jax.Array     # (B, 2)
+    rho_bar: jax.Array   # (B,) final adapted rho
+    valid: jax.Array     # (B,) bool — cold-start lanes where False
+
+    @classmethod
+    def cold(cls, batch: int, config: PlannerConfig):
+        N = config.n_knots
+        return cls(v=jnp.zeros((batch, N, 6)),
+                   y_knot=jnp.zeros((batch, N, 6)),
+                   y_end=jnp.zeros((batch, 2)),
+                   rho_bar=jnp.zeros((batch,)),
+                   valid=jnp.zeros((batch,), bool))
+
+
 def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
-                  settings: QPSettings):
+                  settings: QPSettings, warm: QPWarmStart | None = None):
     """Two-pass SQP path QP, batched (optimizePath,
-    path_optimizer.cpp:124-161)."""
+    path_optimizer.cpp:124-161). ``warm`` (optional) seeds PASS 1 from a
+    previous solve's final state — the replanning warm start; pass 2 always
+    warm-starts from pass 1 as before."""
     cfg = config
     N = cfg.n_knots
     ref, cb, init_offset, init_heading_error, ok_init, n_valid = geo_out
@@ -281,9 +308,26 @@ def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
                                           cb.rear_ub - cb.rear_lb), jnp.inf)
     order1 = jnp.argsort(-jnp.min(width, axis=-1))
     inv1 = jnp.argsort(order1)
+    dtp = qp1.p_diag.dtype
+    if warm is None:
+        v0_1 = y0k_1 = y0e_1 = None
+        rho0_1 = jnp.full((B,), settings.rho_bar_path, dtp)
+    else:
+        # Replanning warm start: lanes with warm.valid seed pass 1 from the
+        # previous solve's final (v, y, rho); cold lanes start from zeros
+        # with the configured initial rho (identical to warm=None).
+        w3 = warm.valid[:, None, None]
+        v0_1 = jnp.where(w3, warm.v.astype(dtp), 0.0)
+        y0k_1 = jnp.where(w3, warm.y_knot.astype(dtp), 0.0)
+        y0e_1 = jnp.where(warm.valid[:, None], warm.y_end.astype(dtp), 0.0)
+        rho0_1 = jnp.where(warm.valid, warm.rho_bar.astype(dtp),
+                           settings.rho_bar_path)
     sol1_s = solve_path_qp_batched(
-        jax.tree_util.tree_map(lambda a: a[order1], qp1), settings=settings,
-        rho0=jnp.full((B,), settings.rho_bar_path, qp1.p_diag.dtype))
+        jax.tree_util.tree_map(lambda a: a[order1], qp1),
+        v0=None if v0_1 is None else v0_1[order1],
+        y0_knot=None if y0k_1 is None else y0k_1[order1],
+        y0_end=None if y0e_1 is None else y0e_1[order1],
+        settings=settings, rho0=rho0_1[order1])
     sol1 = jax.tree_util.tree_map(lambda a: a[inv1], sol1_s)
     qp2 = jax.vmap(make_qp)(scs, ref, cb, ref_heading_last, init_offset,
                             init_heading_error, n_valid,
@@ -333,10 +377,15 @@ def stage_finalize(ref, sol2, n_valid, config: PlannerConfig):
 # --------------------------------- drivers ----------------------------------
 
 def solve_batch(gm: maps.GridMap, scenarios: Scenario, config: PlannerConfig,
-                settings: QPSettings = QPSettings()) -> PathResult:
+                settings: QPSettings | None = None) -> PathResult:
     """Solve a batch of scenarios sharing one grid map (the
     scenario-data-parallel axis; SURVEY.md §2.8). Every Scenario leaf has a
-    leading batch dimension."""
+    leading batch dimension.
+
+    ``settings=None`` derives the solver settings from the config's qp_*
+    fields (``config.qp_settings()``) so e.g. ``qp_max_iter`` is live."""
+    if settings is None:
+        settings = config.qp_settings()
     # TPU matmuls default to bf16 operands; the ADMM iterations need full f32
     # products or the 2e-3 termination tolerance is unreachable.
     with jax.default_matmul_precision("highest"):
@@ -344,7 +393,8 @@ def solve_batch(gm: maps.GridMap, scenarios: Scenario, config: PlannerConfig,
 
 
 def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
-                      settings: QPSettings) -> PathResult:
+                      settings: QPSettings, warm: QPWarmStart | None = None,
+                      return_warm: bool = False):
     prep_out = stage_prep(scs, config)
     ok_input = prep_out[0]
     smooth_out = stage_smooth(gm, prep_out, config, settings)
@@ -354,24 +404,47 @@ def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
     l_post, ok_post = stage_post_smooth(cor, config, settings)
     geo_out = stage_geometry(gm, scs, xs2, ys2, cor, l_post, config)
     ref, cb, init_offset, init_heading_error, ok_init, n_valid = geo_out
-    sol1, sol2 = stage_path_qp(scs, geo_out, config, settings)
+    sol1, sol2 = stage_path_qp(scs, geo_out, config, settings, warm=warm)
     ok_qp = sol1.converged & sol2.converged
     x_out, y_out, heading_out, l, e, k, dk, s_out = stage_finalize(
         ref, sol2, n_valid, config)
 
     ok = (ok_input & ok_smooth & ok_corridor & ok_post & ok_init & ok_qp)
-    return PathResult(
+    result = PathResult(
         x=x_out, y=y_out, heading=heading_out, l=l, d_heading=e, k=k, d_k=dk,
         s=s_out, n_valid=n_valid, ok=ok, blocked=cb.blocked,
         qp_iters=sol1.iters + sol2.iters,
         ok_input=ok_input, ok_smooth=ok_smooth, ok_corridor=ok_corridor,
         ok_post=ok_post, ok_init=ok_init, ok_qp=ok_qp,
         horizon_truncated=ref.truncated, bounds=cb)
+    if not return_warm:
+        return result
+    # Solver state for the NEXT solve of the same (advanced) query — the
+    # persistent-OSQP-object analogue (base_solver.cpp:97-117). Lanes whose
+    # QP did not converge re-seed cold next time.
+    warm_out = QPWarmStart(v=sol2.v, y_knot=sol2.y_knot, y_end=sol2.y_end,
+                           rho_bar=sol2.rho_bar, valid=ok_qp)
+    return result, warm_out
+
+
+def solve_batch_warm(gm: maps.GridMap, scenarios: Scenario,
+                     config: PlannerConfig,
+                     settings: QPSettings | None = None,
+                     warm: QPWarmStart | None = None):
+    """One replanning solve: like :func:`solve_batch` but seeds the path QP
+    from ``warm`` (a previous solve's state) and returns
+    ``(PathResult, QPWarmStart)`` for the next cycle. See
+    ``tpu_pathopt.replan`` for the full streamed loop."""
+    if settings is None:
+        settings = config.qp_settings()
+    with jax.default_matmul_precision("highest"):
+        return _solve_batch_impl(gm, scenarios, config, settings, warm=warm,
+                                 return_warm=True)
 
 
 def solve_batch_profiled(gm: maps.GridMap, scenarios: Scenario,
                          config: PlannerConfig,
-                         settings: QPSettings = QPSettings(),
+                         settings: QPSettings | None = None,
                          recorder=None) -> PathResult:
     """Stage-by-stage execution with host-side per-stage timing — the
     reference's TimeRecorder instrumentation (path_optimizer.cpp:41-69,
@@ -381,6 +454,8 @@ def solve_batch_profiled(gm: maps.GridMap, scenarios: Scenario,
     ``solve_batch`` (no cross-stage fusion) — for observability, not the hot
     path."""
     from tpu_pathopt import profiling
+    if settings is None:
+        settings = config.qp_settings()
     rec = recorder if recorder is not None else profiling.TimeRecorder(
         "pipeline")
     static = {"static_argnames": ("config", "settings")}
@@ -428,7 +503,7 @@ def solve_batch_profiled(gm: maps.GridMap, scenarios: Scenario,
 
 
 def solve(gm: maps.GridMap, sc: Scenario, config: PlannerConfig,
-          settings: QPSettings = QPSettings()) -> PathResult:
+          settings: QPSettings | None = None) -> PathResult:
     """Single-scenario solve — a batch of one through the batched pipeline
     (one code path; the reference's per-query PathOptimizer::solve)."""
     scs = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], sc)

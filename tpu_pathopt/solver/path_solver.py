@@ -207,8 +207,11 @@ def _solve_batched_impl(qp: PathQP, v0, y0_knot, y0_end,
         y0_knot = with_vma_of(jnp.zeros((B, N, 6), dtp), qp)
     if y0_end is None:
         y0_end = with_vma_of(jnp.zeros((B, 2), dtp), qp)
-    if rho0 is None:
-        rho0 = with_vma_of(jnp.full((B,), st.rho_bar, dtp), qp)
+    # A caller-supplied rho0 may be a plain scalar (the advertised API);
+    # broadcast it to (B,) BEFORE chunking or resh() below fails on it.
+    rho0 = with_vma_of(
+        jnp.full((B,), st.rho_bar, dtp) if rho0 is None
+        else jnp.broadcast_to(jnp.asarray(rho0, dtp), (B,)), qp)
     nc = B // ch
     resh = lambda a: a.reshape((nc, ch) + a.shape[1:])
     chunked = jax.tree_util.tree_map(resh, (qp, v0, y0_knot, y0_end, rho0))
