@@ -244,7 +244,15 @@ def stream_64k(n_total=65536):
     """64k-scenario streamed sharded run (BASELINE.md scaling config): the
     mixed adversarial batch streamed through ``dist.solve_streamed`` on a
     mesh over all local devices. Returns the stats dict (also runs inside
-    ``main``; ``python bench.py --stream64k`` prints it as its own line)."""
+    ``main``; ``python bench.py --stream64k`` prints it as its own line).
+
+    Warm-up is a short UNTIMED stream through the identical code path, not
+    just a ``solve_sharded`` call: per-batch dispatch tracing (round 5)
+    showed a one-time ~0.4 s stall on the first streamed dispatches that a
+    plain warmed call does not absorb; past it, the steady-state stream
+    runs at the plain pipelined rate (gap p50 ~1 ms/batch, flat across all
+    four quarters of a 256-batch stream — the round-4 record's 39% deficit
+    did not reproduce once warm-up covered the stream path itself)."""
     import jax
     from tpu_pathopt import dist
     from tpu_pathopt.config import PlannerConfig
@@ -253,9 +261,8 @@ def stream_64k(n_total=65536):
     mesh = dist.make_mesh()
     batch = 256
     gm, scs, _ = build_adversarial(batch)
-    # Warm up / compile outside the timed stream.
-    res, _ = dist.solve_sharded(gm, scs, cfg, mesh)
-    np.asarray(res.x)
+    # Warm up / compile OUTSIDE the timed stream, through the stream path.
+    dist.solve_streamed(gm, (scs for _ in range(2)), cfg, mesh)
     total, dt, sps = dist.solve_streamed(
         gm, (scs for _ in range(n_total // batch)), cfg, mesh)
     return {
@@ -265,6 +272,179 @@ def stream_64k(n_total=65536):
         "n_total": int(total.n_total), "n_ok": int(total.n_ok),
         "n_blocked": int(total.n_blocked), "seconds": round(dt, 2),
         "n_devices": len(jax.devices()),
+    }
+
+
+# TPU v5e ("v5 lite") public peaks, the roofline axes. The pipeline is
+# f32 VPU/gather work, so bf16-MXU peak is a deliberately generous
+# denominator — the point of the table is the ORDER of magnitude: stages
+# sitting at ~1e-3 of both compute and bandwidth peaks are bound by
+# neither; their ceiling is serial latency (dependent-op chains) or
+# gather-issue rate (measured, PERF.md).
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_HBM_BYTES_S = 819e9
+MEASURED_GATHER_IDX_S = 0.18e9       # march-pattern ceiling (PERF.md)
+
+
+def roofline(batch=256, reps=5):
+    """Per-stage roofline accounting on the adversarial batch: XLA's own
+    compiled-program cost model (flops + bytes accessed) per stage, the
+    analytic ESDF-probe counts for the gather-bound stages, and measured
+    per-stage device times — reported as achieved rates vs the v5e peaks
+    and the measured gather ceiling, with a binding-resource verdict. This
+    makes PERF.md's "at the gather ceiling" claims auditable numbers
+    (VERDICT r4 #2)."""
+    import jax
+    from tpu_pathopt import pipeline, profiling
+    from tpu_pathopt.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    settings = cfg.qp_settings()
+    gm, scs, _ = build_adversarial(batch)
+    B, N, L, K = batch, cfg.n_knots, cfg.dp_layers, cfg.dp_laterals
+
+    # Analytic ESDF probe counts per SOLVE (each probe = one packed
+    # quad-stencil gather, 16 B row):
+    # - bounds (clearance_strict over (2 axles, N)): 2 sides x (20 coarse +
+    #   5 fine) marches + 1 origin probe per axle-knot -> N * 2 * (2*25+1);
+    # - corridor: L*K lattice nodes + expansion marches 2 sides x L x 82.
+    probes = {
+        "bounds": N * 2 * (2 * (20 + 5) + 1),
+        "corridor": L * K + 2 * L * 82,
+    }
+
+    # Mirror solve_batch_profiled's stage chain, but AOT-compile each stage
+    # so XLA's cost analysis is read from the exact program that runs.
+    stats = {}
+    order = []
+
+    def _sync(out):
+        # block_until_ready can resolve before the computation retires on
+        # the axon tunnel (see SKILL.md); fetching a leaf is the real sync.
+        np.asarray(jax.tree_util.tree_leaves(out)[0])
+
+    def run_stage(name, fn, *args, static=("config", "settings")):
+        jfn = jax.jit(fn, static_argnames=static)
+        compiled = jfn.lower(*args).compile()
+        ca = compiled.cost_analysis()
+        if not isinstance(ca, dict):          # older jax returns [dict]
+            ca = ca[0]
+        out = jfn(*args)
+        _sync(out)
+        t0 = time.time()
+        for _ in range(reps):
+            out = jfn(*args)
+        _sync(out)
+        dt = (time.time() - t0) / reps
+        stats[name] = {
+            "time_ms": dt * 1e3,
+            "flops": float(ca.get("flops", 0.0)),
+            "bytes": float(ca.get("bytes accessed", 0.0)),
+        }
+        order.append(name)
+        return out
+
+    with jax.default_matmul_precision("highest"):
+        prep_out = run_stage("prep", pipeline.stage_prep, scs, cfg,
+                             static=("config",))
+        smooth_out = run_stage("smooth", pipeline.stage_smooth, gm, prep_out,
+                               cfg, settings)
+        xs2, ys2, cor = run_stage("corridor", pipeline.stage_corridor, gm,
+                                  scs, smooth_out, cfg, static=("config",))
+        l_post, _ = run_stage("post_smooth", pipeline.stage_post_smooth, cor,
+                              cfg, settings)
+        geo_out = run_stage("bounds", pipeline.stage_geometry, gm, scs, xs2,
+                            ys2, cor, l_post, cfg, static=("config",))
+        sol1, sol2 = run_stage("path_qp", pipeline.stage_path_qp, scs,
+                               geo_out, cfg, settings)
+        run_stage("finalize", pipeline.stage_finalize, geo_out[0], sol2,
+                  geo_out[5], cfg, static=("config",))
+
+    mean_iters = float(np.mean(np.asarray(sol1.iters + sol2.iters)))
+    table = {}
+    for name in order:
+        s = stats[name]
+        t = s["time_ms"] / 1e3
+        fl_ut = s["flops"] / t / V5E_PEAK_BF16_FLOPS if t > 0 else 0.0
+        # XLA's "bytes accessed" counts every LOGICAL operand access before
+        # fusion dedup (fusion-internal traffic that never leaves VMEM is
+        # included), so bytes/t is an UPPER BOUND on HBM bandwidth use, not
+        # a utilization — values can exceed 1.0 of peak. It still bounds:
+        # a stage whose logical-bytes rate is far BELOW peak is certainly
+        # not bandwidth-bound.
+        bw_ub = s["bytes"] / t / V5E_HBM_BYTES_S if t > 0 else 0.0
+        row = {
+            "time_ms": round(s["time_ms"], 2),
+            "est_gflops_per_solve": round(s["flops"] / B / 1e9, 4),
+            "est_logical_mbytes_per_solve": round(s["bytes"] / B / 1e6, 3),
+            "achieved_flops_frac_of_peak": round(fl_ut, 5),
+            "hbm_frac_upper_bound": round(bw_ub, 5),
+        }
+        if name in probes:
+            idx = probes[name] * B
+            row["est_gather_idx_per_solve"] = probes[name]
+            row["achieved_gather_gidx_s"] = round(idx / t / 1e9, 3)
+            row["gather_frac_of_measured_ceiling"] = round(
+                idx / t / MEASURED_GATHER_IDX_S, 3)
+            # Bound verdict: compute utilization is negligible and the
+            # probe rate reaches a large share of the measured per-index
+            # gather ceiling -> the gather issue rate is the binding
+            # resource.
+            row["bound"] = ("gather-issue"
+                            if row["gather_frac_of_measured_ceiling"] > 0.4
+                            and fl_ut < 0.02 else "mixed")
+        else:
+            # Non-gather stages at a tiny fraction of compute peak are
+            # bound by serial latency (dependent-op chains: ADMM
+            # iterations, scan sweeps), not by a hardware throughput axis.
+            row["bound"] = ("serial-latency" if fl_ut < 0.02 else "compute")
+        table[name] = row
+    total_flops = sum(s["flops"] for s in stats.values()) / B
+    total_bytes = sum(s["bytes"] for s in stats.values()) / B
+    return {
+        "batch": B,
+        "mean_qp_iters": round(mean_iters, 1),
+        "est_flops_per_solve": round(total_flops, 0),
+        "est_logical_bytes_per_solve": round(total_bytes, 0),
+        "stages": table,
+        "peaks": {"bf16_flops": V5E_PEAK_BF16_FLOPS,
+                  "hbm_bytes_s": V5E_HBM_BYTES_S,
+                  "measured_gather_idx_s": MEASURED_GATHER_IDX_S},
+    }
+
+
+def replan_bench(batch=256, n_steps=16):
+    """Warm-started replanning stream (the reference demo's 30 Hz loop,
+    demo.cpp:133-211, as a batch — ``tpu_pathopt.replan``) vs the SAME
+    stream run cold: measures the serving throughput of evolving queries
+    and what the (v, y, rho) carry buys in ADMM iterations."""
+    from tpu_pathopt import replan
+    from tpu_pathopt.config import PlannerConfig
+
+    cfg = PlannerConfig()
+    gm, scs, _ = build_adversarial(batch)
+    # Compile both step variants, then absorb the one-time program
+    # (re)load with a short untimed stream IMMEDIATELY before each timed
+    # one: on the tunneled device, compiling another large program evicts
+    # the first executable, and its reload (~several s) otherwise lands in
+    # whichever stream runs it next (measured round 5: 7.8 s vs 0.94 s for
+    # the identical 16-step stream, zero recompiles logged).
+    replan.replan_stream(gm, scs, cfg, n_steps=1)
+    replan.replan_stream(gm, scs, cfg, n_steps=1, use_warm=False)
+    replan.replan_stream(gm, scs, cfg, n_steps=3)
+    sw = replan.replan_stream(gm, scs, cfg, n_steps=n_steps)
+    replan.replan_stream(gm, scs, cfg, n_steps=3, use_warm=False)
+    sc = replan.replan_stream(gm, scs, cfg, n_steps=n_steps, use_warm=False)
+    return {
+        "replan_solves_per_s": round(sw.solves_per_s, 2),
+        "replan_solves_per_s_cold": round(sc.solves_per_s, 2),
+        # Iterations on the warm cycles (cycle 0 is cold either way).
+        "replan_iter_ratio": round(
+            sw.mean_iters_rest / max(sc.mean_iters_rest, 1e-9), 4),
+        "replan_mean_iters_warm": round(sw.mean_iters_rest, 1),
+        "replan_mean_iters_cold": round(sc.mean_iters_rest, 1),
+        "replan_steps": n_steps,
+        "replan_ok_fraction": round(sw.n_ok / sw.n_total, 4),
     }
 
 
@@ -312,7 +492,12 @@ def b1_latency(reps=30):
         "b1_device_ms": round(dev, 2),
         "b1_budget_ms": 33.3,                    # demo.cpp:133 (30 Hz loop)
         "b1_scenario": "tight",
+        # Both verdicts, explicitly (round-4 review: the synced figure sits
+        # close to budget and is tunnel-jitter-sensitive; the device figure
+        # is the hardware's answer, the synced one includes ~25-50 ms of
+        # tunnel RTT a production deployment would not pay).
         "b1_within_budget": bool(dev < 33.3),
+        "b1_within_budget_synced": bool(p50 < 33.3),
     }
 
 
@@ -434,10 +619,8 @@ def main():
               flush=True)
 
     try:
-        # Run the stream BEFORE the B=1 section: measured, the
-        # B=1 program's warm state in-process degrades the subsequent
-        # streamed throughput ~35% (cause unresolved; isolated
-        # --stream64k runs match this ordering's numbers).
+        # Run the stream before the B=1 section (keeps the section order of
+        # the round-4 record comparable).
         import gc
         gc.collect()
         # The sharded-stream program is a second compile (shard_map); gate on
@@ -447,10 +630,40 @@ def main():
             result["stream64k_solves_per_s"] = s["value"]
             result["stream64k_seconds"] = s["seconds"]
             result["stream64k_n_ok"] = s["n_ok"]
+            # The honest streaming-overhead metric (VERDICT r4 #1): the
+            # stream vs the SAME process's plain pipelined rate.
+            result["stream64k_frac_of_plain"] = round(
+                s["value"] / solves_per_s, 4)
             print(f"bench: stream64k done at t={time.time() - t_start:.0f}s",
                   file=sys.stderr, flush=True)
     except Exception as e:
         print(f"bench: stream64k section failed: {e!r}", file=sys.stderr,
+              flush=True)
+
+    try:
+        # Warm-started replanning stream (reference demo's 30 Hz loop).
+        if remaining() > 120:
+            result.update(replan_bench())
+            print(f"bench: replan done at t={time.time() - t_start:.0f}s",
+                  file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: replan section failed: {e!r}", file=sys.stderr,
+              flush=True)
+
+    try:
+        # Roofline accounting (per-stage flops/bytes/probe rates vs peaks).
+        # Stage programs are separate compiles; the persistent cache
+        # amortizes them across rounds.
+        if remaining() > 240:
+            rf = roofline()
+            result["est_flops_per_solve"] = rf["est_flops_per_solve"]
+            result["est_logical_bytes_per_solve"] = \
+                rf["est_logical_bytes_per_solve"]
+            result["roofline_stages"] = rf["stages"]
+            print(f"bench: roofline done at t={time.time() - t_start:.0f}s",
+                  file=sys.stderr, flush=True)
+    except Exception as e:
+        print(f"bench: roofline section failed: {e!r}", file=sys.stderr,
               flush=True)
 
     try:
@@ -474,5 +687,9 @@ if __name__ == "__main__":
         print(json.dumps(stream_64k()))
     elif "--sweep" in sys.argv:
         sweep()
+    elif "--roofline" in sys.argv:
+        print(json.dumps(roofline(), indent=1))
+    elif "--replan" in sys.argv:
+        print(json.dumps(replan_bench()))
     else:
         main()
