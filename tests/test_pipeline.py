@@ -172,3 +172,29 @@ def test_scalar_rho0_broadcasts_in_chunked_solver(monkeypatch):
         qp, None, None, None, QPSettings(max_iter=50), rho0=0.2)
     assert sol.iters.shape == (B,)
     assert chunk_rho_shapes == [(128,)]      # broadcast before chunking
+
+
+def test_geometry_chunking_matches_unchunked(corridor_map, monkeypatch):
+    """stage_geometry chunks the batch at the B=512 knee (bounds the one-hot
+    fusion working set, PERF.md batch sweep); chunked and unchunked paths
+    must agree. Chunk size patched small so B=4 exercises the lax.map path."""
+    from tpu_pathopt import pipeline as pl
+
+    starts = [(-25.0, o, 0.0) for o in (-1.5, -0.5, 0.5, 1.5)]
+    scs = [_scenario(start=st) for st in starts]
+    batch = jax.tree.map(lambda *xs: jnp.stack(xs), *scs)
+    out_plain = pipeline.solve_batch_jit(corridor_map, batch, CFG)
+    monkeypatch.setattr(pl, "_GEO_CHUNK", 2)
+    out_chunk = jax.jit(pl.solve_batch, static_argnames=("config",))(
+        corridor_map, batch, CFG)
+    assert bool(jnp.all(out_chunk.ok))
+    nv = np.asarray(out_plain.n_valid)
+    np.testing.assert_array_equal(nv, np.asarray(out_chunk.n_valid))
+    # Same geometry feeds the same QP; solutions agree to solver tolerance
+    # (the chunked vmap reassociates float reductions).
+    for b in range(4):
+        n = int(nv[b])
+        np.testing.assert_allclose(np.asarray(out_chunk.l[b][:n]),
+                                   np.asarray(out_plain.l[b][:n]), atol=2e-3)
+        np.testing.assert_allclose(np.asarray(out_chunk.k[b][:n]),
+                                   np.asarray(out_plain.k[b][:n]), atol=2e-3)

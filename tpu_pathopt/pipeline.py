@@ -192,6 +192,16 @@ def stage_post_smooth(cor, config: PlannerConfig, settings: QPSettings):
     return l_post, post_ok & conv_post
 
 
+# Batch chunk for the geometry stage. Its Newton-projection chains build
+# (B, queries, segments) one-hot select intermediates; past ~512 scenarios
+# they outgrow XLA's fusion buffers and the bounds stage regresses
+# per-solve (measured +8.5% us/solve at B=1024 while every other stage
+# still improves — PERF.md batch sweep). Chunking the batch at the knee
+# bounds the working set; chunks run under lax.map like the path QP's
+# 128-lane chunks.
+_GEO_CHUNK = 512
+
+
 def stage_geometry(gm: maps.GridMap, scs: Scenario, xs2, ys2, cor, l_post,
                    config: PlannerConfig):
     """Re-projection, init state, trim, resample, collision bounds, per
@@ -239,7 +249,16 @@ def stage_geometry(gm: maps.GridMap, scs: Scenario, xs2, ys2, cor, l_post,
         ref = ref.replace(n_valid=n_valid)
         return ref, cb, init_offset, init_heading_error, ok_init, n_valid
 
-    return jax.vmap(late)(scs, xs2, ys2, cor, l_post)
+    run = jax.vmap(late)
+    B = l_post.shape[0]
+    if B > _GEO_CHUNK and B % _GEO_CHUNK == 0:
+        nch = B // _GEO_CHUNK
+        resh = lambda a: a.reshape((nch, _GEO_CHUNK) + a.shape[1:])
+        chunked = jax.tree_util.tree_map(resh, (scs, xs2, ys2, cor, l_post))
+        out = jax.lax.map(lambda t: run(*t), chunked)
+        return jax.tree_util.tree_map(
+            lambda a: a.reshape((B,) + a.shape[2:]), out)
+    return run(scs, xs2, ys2, cor, l_post)
 
 
 @flax.struct.dataclass

@@ -41,10 +41,16 @@ class QPSettings:
     # Initial rho for the lateral path QP specifically (pipeline.stage_path_qp
     # passes it through the solver's rho0); pass 2 additionally inherits pass
     # 1's final adapted rho, mirroring the reference's persistent OSQP solver
-    # object (base_solver.cpp:97-117). Measured: 0.8 converges ~25-40% faster
-    # on the bench workloads but lands up to ~4e-3 from the float64 optimum in
-    # kappa — OUTSIDE the gridmap parity tolerances — so the default stays at
-    # the OSQP default 0.1 (parity first); raise it only when throughput
+    # object (base_solver.cpp:97-117). Measured tradeoff curve (round 5,
+    # adversarial B=256 throughput / worst gridmap-route gap vs the
+    # high-accuracy float64 optimum):
+    #   0.1 -> 4089/s, kappa 4.4e-4, e_psi 3.0e-3   (default; full parity)
+    #   0.3 -> 4338/s, kappa 6.2e-4, e_psi 5.4e-3
+    #   0.5 -> 4473/s, kappa 8.1e-4, e_psi 7.0e-3   (+9%; e_psi past 5e-3)
+    #   0.8 -> 4299/s, kappa 1.8e-3, e_psi 8.6e-3
+    # Every faster setting moves some coordinate past the pinned parity
+    # tolerances (kappa 1e-3 / e_psi 5e-3), so the default stays at the
+    # OSQP default 0.1 (parity first); raise it only when throughput
     # matters more than reference-grade solution accuracy.
     rho_bar_path: float = 0.1
     scaling_iters: int = 10
