@@ -110,3 +110,25 @@ def test_replan_stream_warm_saves_iterations(corridor_map):
     # Cycle 0 is cold in both streams -> identical work.
     assert stats_warm.mean_iters_first == stats_cold.mean_iters_first
     assert stats_warm.mean_iters_rest <= stats_cold.mean_iters_rest
+
+
+def test_replan_stream_sharded(corridor_map):
+    """Sharded replanning over the 8-device virtual mesh: scenarios and
+    their warm state shard together; every cycle succeeds and the warm
+    carry still pays (fewer iterations on the warm cycles). Iteration
+    counts may differ from the local stream by one residual-check interval
+    (sharded compilation reassociates float reductions)."""
+    from tpu_pathopt import dist
+
+    mesh = dist.make_mesh()
+    stats = replan.replan_stream_sharded(corridor_map, _batch(8), CFG, mesh,
+                                         n_steps=3)
+    assert stats.n_ok == stats.n_total
+    assert stats.mean_iters_rest <= stats.mean_iters_first
+    local = replan.replan_stream(corridor_map, _batch(8), CFG, n_steps=3)
+    assert abs(stats.mean_iters - local.mean_iters) <= 25.0
+
+    # Batch not divisible by the mesh -> explicit error pointing at pad_batch.
+    with pytest.raises(ValueError):
+        replan.replan_stream_sharded(corridor_map, _batch(2), CFG, mesh,
+                                     n_steps=1)

@@ -129,3 +129,81 @@ def replan_stream(gm: maps.GridMap, scs: pipeline.Scenario,
         mean_iters=float(it.mean()),
         mean_iters_first=float(it[0].mean()),
         mean_iters_rest=float(it[1:].mean()) if n_steps > 1 else float("nan"))
+
+
+# --------------------------- sharded (multi-chip) ---------------------------
+
+@functools.lru_cache(maxsize=16)
+def _sharded_replan_step(mesh, config: PlannerConfig, settings: QPSettings,
+                         advance_ds: float):
+    """Cached jitted shard_map of one replanning cycle: scenarios AND the
+    warm state shard together over the "scenarios" mesh axis (the warm
+    carry is per-scenario, so it never crosses shards), the grid map is
+    replicated, and the fleet iteration stats ride one psum — the
+    multi-chip form of :func:`replan_step`. check_vma follows
+    dist._sharded_solver_cached (off whenever Pallas kernels can engage)."""
+    from jax.sharding import PartitionSpec as P
+
+    pallas_engaged = jax.default_backend() in ("tpu", "axon")
+
+    @jax.jit
+    @functools.partial(
+        jax.shard_map,
+        mesh=mesh,
+        check_vma=not pallas_engaged,
+        in_specs=(P(), P("scenarios"), P("scenarios")),
+        out_specs=(P("scenarios"), P("scenarios"), P("scenarios"), P()),
+    )
+    def _run(gm_rep, scs, warm):
+        res, warm_out = pipeline.solve_batch_warm(gm_rep, scs, config,
+                                                  settings, warm=warm)
+        scs_next = advance_scenarios(scs, res, advance_ds)
+        n_ok = jax.lax.psum(jnp.sum(res.ok.astype(jnp.int32)), "scenarios")
+        return res, warm_out, scs_next, n_ok
+
+    return _run
+
+
+def replan_stream_sharded(gm: maps.GridMap, scs: pipeline.Scenario,
+                          config: PlannerConfig, mesh,
+                          settings: QPSettings | None = None,
+                          n_steps: int = 30, advance_ds: float = 1.0,
+                          consume=None) -> ReplanStats:
+    """:func:`replan_stream` over a device mesh: each shard owns its
+    scenarios and their warm state end-to-end across cycles (no cross-shard
+    traffic beyond the fleet-ok psum). The batch must divide the mesh size;
+    pad with ``dist.pad_batch`` first if it doesn't."""
+    from tpu_pathopt import dist  # local import: replan <-> dist layering
+
+    if settings is None:
+        settings = config.qp_settings()
+    B = int(scs.n_raw.shape[0])
+    n_shards = int(np.prod(mesh.devices.shape))
+    if B % n_shards:
+        raise ValueError(f"batch {B} must divide the mesh size {n_shards}; "
+                         "pad with dist.pad_batch")
+    run = _sharded_replan_step(mesh, config, settings, advance_ds)
+    warm = pipeline.QPWarmStart.cold(B, config)
+    iters, oks = [], []
+    prev = None
+    t0 = time.time()
+    for _ in range(n_steps):
+        res, warm, scs, _n_ok = run(gm, scs, warm)
+        if prev is not None and consume is not None:
+            consume(prev)
+        prev = res
+        iters.append(res.qp_iters)
+        oks.append(res.ok)
+    if prev is not None and consume is not None:
+        consume(prev)
+    np.asarray(iters[-1])
+    dt = time.time() - t0
+    it = np.asarray(jnp.stack(iters))
+    ok = np.asarray(jnp.stack(oks))
+    n_total = B * n_steps
+    return ReplanStats(
+        n_steps=n_steps, n_total=n_total, n_ok=int(ok.sum()),
+        seconds=dt, solves_per_s=n_total / dt if dt > 0 else 0.0,
+        mean_iters=float(it.mean()),
+        mean_iters_first=float(it[0].mean()),
+        mean_iters_rest=float(it[1:].mean()) if n_steps > 1 else float("nan"))
