@@ -109,3 +109,13 @@ def test_cli_method_flags(tmp_path, capsys):
     text = capsys.readouterr().out
     assert "solve: ok=True" in text
     assert out.exists() and out.stat().st_size > 0
+
+
+def test_cli_verbose_qp_prints_residual_trace(tmp_path, capsys):
+    """--verbose-qp prints the path QP's per-round residuals (the
+    reference's OSQP verbose=true surface, base_solver.cpp:59)."""
+    out = tmp_path / "demo.png"
+    cli.main(["--synthetic", "--small", "--verbose-qp", "--out", str(out)])
+    text = capsys.readouterr().out
+    assert "per-round residuals" in text
+    assert "pri_res" in text and "converged" in text

@@ -112,3 +112,25 @@ def test_warm_start_second_pass():
         qp, v0=sol1.v, y0_knot=sol1.y_knot, y0_end=sol1.y_end, settings=st)
     assert bool(sol2.converged)
     assert int(sol2.iters) <= int(sol1.iters)
+
+
+def test_trace_path_rounds_matches_solver():
+    """The per-round tracer (the CLI's --verbose-qp surface, mirroring the
+    reference's OSQP verbose=true) shares the production round body: its
+    first converged round must report exactly the solver's final iteration
+    count and residuals, and stay frozen afterwards."""
+    qp = _scenario_qp()
+    st = QPSettings()
+    sol = path_solver.solve_path_qp(qp, settings=st)
+    assert bool(sol.converged)
+    tr = path_solver.trace_path_rounds(qp, st, n_rounds=12)
+    conv = np.asarray(tr["converged"])
+    assert conv.any()
+    r = int(np.argmax(conv))
+    assert int(tr["iters"][r]) == int(sol.iters)
+    np.testing.assert_allclose(float(tr["pri_res"][r]), float(sol.pri_res),
+                               rtol=1e-6)
+    np.testing.assert_allclose(float(tr["dua_res"][r]), float(sol.dua_res),
+                               rtol=1e-6)
+    # Frozen after convergence.
+    assert np.all(np.asarray(tr["iters"])[r:] == int(sol.iters))

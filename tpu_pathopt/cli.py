@@ -75,6 +75,10 @@ def main(argv=None):
     parser.add_argument("--profile", action="store_true",
                         help="per-stage timing (the reference's TimeRecorder, "
                              "path_optimizer.cpp:41-69)")
+    parser.add_argument("--verbose-qp", action="store_true",
+                        help="print the path QP's per-round ADMM residuals "
+                             "for this solve (the reference runs OSQP with "
+                             "verbose=true, base_solver.cpp:59)")
     parser.add_argument("--small", action="store_true",
                         help="small static shapes (fast compile preview)")
     # The reference demo is driven by gflags on its command line
@@ -149,6 +153,41 @@ def main(argv=None):
         rec = profiling.TimeRecorder("pipeline")
         pipeline.solve_batch_profiled(gm, scs1, cfg, recorder=rec)
         print(rec.print_time())
+    if args.verbose_qp:
+        # Per-round ADMM residual trace of this solve's pass-1 path QP —
+        # the surface the reference gets from OSQP's verbose=true
+        # (base_solver.cpp:59 prints residuals at every check interval).
+        from tpu_pathopt.solver.path_solver import trace_path_rounds
+        st = cfg.qp_settings()
+        scs1 = jax.tree_util.tree_map(lambda a: jnp.asarray(a)[None], sc)
+
+        @jax.jit
+        def geo(gm_, scs_):
+            with jax.default_matmul_precision("highest"):
+                prep_out = pipeline.stage_prep(scs_, cfg)
+                smooth_out = pipeline.stage_smooth(gm_, prep_out, cfg, st)
+                xs2, ys2, cor = pipeline.stage_corridor(gm_, scs_,
+                                                        smooth_out, cfg)
+                l_post, _okp = pipeline.stage_post_smooth(cor, cfg, st)
+                return pipeline.stage_geometry(gm_, scs_, xs2, ys2, cor,
+                                               l_post, cfg)
+
+        geo_out = geo(gm, scs1)
+        qp1 = jax.tree_util.tree_map(lambda a: a[0],
+                                     pipeline.build_path_qp(scs1, geo_out,
+                                                            cfg))
+        n_rounds = min(16, max(cfg.qp_max_iter // cfg.qp_check_every, 1))
+        tr = jax.tree_util.tree_map(
+            np.asarray, trace_path_rounds(qp1, st, n_rounds=n_rounds))
+        print("path QP pass 1, per-round residuals "
+              "(OSQP verbose equivalent):")
+        print(f"  {'iter':>5} {'pri_res':>12} {'dua_res':>12} {'rho':>10}")
+        for r in range(n_rounds):
+            print(f"  {int(tr['iters'][r]):>5} {tr['pri_res'][r]:>12.3e} "
+                  f"{tr['dua_res'][r]:>12.3e} {tr['rho_bar'][r]:>10.4f}"
+                  + ("   converged" if bool(tr["converged"][r]) else ""))
+            if bool(tr["converged"][r]):
+                break
     if not bool(result.ok):
         # Failure diagnostic (the reference's logBoundsInfo,
         # reference_path_impl.cpp:88-95).

@@ -286,12 +286,13 @@ class QPWarmStart:
                    valid=jnp.zeros((batch,), bool))
 
 
-def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
-                  settings: QPSettings, warm: QPWarmStart | None = None):
-    """Two-pass SQP path QP, batched (optimizePath,
-    path_optimizer.cpp:124-161). ``warm`` (optional) seeds PASS 1 from a
-    previous solve's final state — the replanning warm start; pass 2 always
-    warm-starts from pass 1 as before."""
+def build_path_qp(scs: Scenario, geo_out, config: PlannerConfig, sol1=None):
+    """Assemble the batched path QP from the geometry stage's outputs —
+    pass 1 when ``sol1`` is None (inputs = zero offset/heading error, the
+    reference curvature), else pass 2 linearized around pass 1's solution
+    (optimizePath, path_optimizer.cpp:124-161). Exposed for the CLI's
+    ``--verbose-qp`` per-round residual trace; ``stage_path_qp`` uses it
+    for both passes."""
     cfg = config
     N = cfg.n_knots
     ref, cb, init_offset, init_heading_error, ok_init, n_valid = geo_out
@@ -312,10 +313,25 @@ def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
             center_lb=cb_i.center_lb, center_ub=cb_i.center_ub)
 
     B = n_valid.shape[0]
-    zeros = jnp.zeros((B, N))
-    qp1 = jax.vmap(make_qp)(scs, ref, cb, ref_heading_last, init_offset,
-                            init_heading_error, n_valid,
-                            zeros, zeros, ref.k)
+    if sol1 is None:
+        zeros = jnp.zeros((B, N))
+        in_l, in_e, in_k = zeros, zeros, ref.k
+    else:
+        in_l, in_e, in_k = sol1.v[:, :, 0], sol1.v[:, :, 1], sol1.v[:, :, 2]
+    return jax.vmap(make_qp)(scs, ref, cb, ref_heading_last, init_offset,
+                             init_heading_error, n_valid, in_l, in_e, in_k)
+
+
+def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
+                  settings: QPSettings, warm: QPWarmStart | None = None):
+    """Two-pass SQP path QP, batched (optimizePath,
+    path_optimizer.cpp:124-161). ``warm`` (optional) seeds PASS 1 from a
+    previous solve's final state — the replanning warm start; pass 2 always
+    warm-starts from pass 1 as before."""
+    ref, cb, init_offset, init_heading_error, ok_init, n_valid = geo_out
+    B = n_valid.shape[0]
+    N = config.n_knots
+    qp1 = build_path_qp(scs, geo_out, config)
     # Difficulty-sorted pass 1: the tightest corridor width predicts ADMM
     # iteration count (tight/slalom corridors engage the soft collision
     # bounds and iterate ~3x longer than open or blocked-truncated ones), so
@@ -348,9 +364,7 @@ def stage_path_qp(scs: Scenario, geo_out, config: PlannerConfig,
         y0_end=None if y0e_1 is None else y0e_1[order1],
         settings=settings, rho0=rho0_1[order1])
     sol1 = jax.tree_util.tree_map(lambda a: a[inv1], sol1_s)
-    qp2 = jax.vmap(make_qp)(scs, ref, cb, ref_heading_last, init_offset,
-                            init_heading_error, n_valid,
-                            sol1.v[:, :, 0], sol1.v[:, :, 1], sol1.v[:, :, 2])
+    qp2 = build_path_qp(scs, geo_out, config, sol1=sol1)
     # Difficulty-sorted pass 2: pass-1 iteration counts predict pass-2
     # difficulty, so grouping scenarios by them concentrates stragglers into
     # few 128-lane chunks — the chunked solver's per-chunk termination

@@ -57,8 +57,12 @@ def solve_path_qp(qp: PathQP, v0=None, y0_knot=None, y0_end=None,
         return _solve_impl(qp, v0, y0_knot, y0_end, settings, rho0)
 
 
-def _solve_impl(qp: PathQP, v0, y0_knot, y0_end,
-                settings: QPSettings, rho0=None) -> PathQPSolution:
+def _scalar_round_setup(qp: PathQP, v0, y0_knot, y0_end,
+                        settings: QPSettings, rho0=None):
+    """Initial carry + (cond, round) for the scalar structured solver —
+    shared by :func:`solve_path_qp` and :func:`trace_path_rounds` so the
+    tracer observes the exact production round body (same pattern as
+    ``qp.admm._make_scalar_round``)."""
     st = settings
     N = qp.p_diag.shape[0]
     dt = qp.p_diag.dtype
@@ -147,11 +151,48 @@ def _solve_impl(qp: PathQP, v0, y0_knot, y0_end,
     init = (v, zk, ze, yk, ye, rk0, re0, C0, W0, rho_bar0,
             jnp.asarray(0, jnp.int32), jnp.asarray(False),
             jnp.asarray(jnp.inf, dt), jnp.asarray(jnp.inf, dt))
-    out = jax.lax.while_loop(cond, admm_round, init)
+    return init, cond, admm_round
+
+
+def _solution_from_carry(out) -> PathQPSolution:
     v, zk, ze, yk, ye = out[:5]
     it, conv, pri, dua = out[10], out[11], out[12], out[13]
     return PathQPSolution(v=v, y_knot=yk, y_end=ye, iters=it, converged=conv,
                           pri_res=pri, dua_res=dua, rho_bar=out[9])
+
+
+def _solve_impl(qp: PathQP, v0, y0_knot, y0_end,
+                settings: QPSettings, rho0=None) -> PathQPSolution:
+    init, cond, admm_round = _scalar_round_setup(qp, v0, y0_knot, y0_end,
+                                                 settings, rho0)
+    return _solution_from_carry(jax.lax.while_loop(cond, admm_round, init))
+
+
+@functools.partial(jax.jit, static_argnames=("settings", "n_rounds"))
+def trace_path_rounds(qp: PathQP, settings: QPSettings = QPSettings(),
+                      n_rounds: int = 16, v0=None, y0_knot=None, y0_end=None,
+                      rho0=None):
+    """Run exactly ``n_rounds`` ADMM rounds of the scalar structured path
+    solver (the SAME round body — shared via ``_scalar_round_setup``) and
+    return the per-round trajectory: dict of (iters, pri_res, dua_res,
+    rho_bar, converged), each with a leading ``n_rounds`` axis. This is the
+    per-solve verbose surface matching the reference's OSQP
+    ``settings.verbose = true`` (base_solver.cpp:59), which prints residuals
+    at every residual check — exposed on the CLI as ``--verbose-qp``.
+    Converged rounds freeze (identical to the production while_loop), so the
+    printed trajectory is exactly what :func:`solve_path_qp` executed."""
+    with jax.default_matmul_precision("highest"):
+        init, _cond, admm_round = _scalar_round_setup(
+            qp, v0, y0_knot, y0_end, settings, rho0)
+
+        def body(carry, _):
+            carry = admm_round(carry)
+            return carry, dict(iters=carry[10], pri_res=carry[12],
+                               dua_res=carry[13], rho_bar=carry[9],
+                               converged=carry[11])
+
+        _, tr = jax.lax.scan(body, init, None, length=n_rounds)
+        return tr
 
 
 @functools.partial(jax.jit, static_argnames=("settings",))
