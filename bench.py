@@ -295,7 +295,9 @@ def roofline(batch=256, reps=5):
     makes PERF.md's "at the gather ceiling" claims auditable numbers
     (VERDICT r4 #2)."""
     import jax
-    from tpu_pathopt import pipeline, profiling
+    from tpu_pathopt import bounds as bounds_mod
+    from tpu_pathopt import corridor as corridor_mod
+    from tpu_pathopt import pipeline
     from tpu_pathopt.config import PlannerConfig
 
     cfg = PlannerConfig()
@@ -304,13 +306,15 @@ def roofline(batch=256, reps=5):
     B, N, L, K = batch, cfg.n_knots, cfg.dp_layers, cfg.dp_laterals
 
     # Analytic ESDF probe counts per SOLVE (each probe = one packed
-    # quad-stencil gather, 16 B row):
-    # - bounds (clearance_strict over (2 axles, N)): 2 sides x (20 coarse +
-    #   5 fine) marches + 1 origin probe per axle-knot -> N * 2 * (2*25+1);
-    # - corridor: L*K lattice nodes + expansion marches 2 sides x L x 82.
+    # quad-stencil gather, 16 B row), derived from the march modules' own
+    # step constants so the accounting cannot silently drift from the code:
+    # - bounds (clearance_strict over (2 axles, N)): 2 sides x (coarse +
+    #   fine) march steps + 1 origin probe per axle-knot;
+    # - corridor: L*K lattice nodes + expansion marches 2 sides x L steps.
+    march_steps = bounds_mod._COARSE_STEPS + bounds_mod._FINE_STEPS
     probes = {
-        "bounds": N * 2 * (2 * (20 + 5) + 1),
-        "corridor": L * K + 2 * L * 82,
+        "bounds": N * 2 * (2 * march_steps + 1),
+        "corridor": L * K + 2 * L * corridor_mod._EXPAND_STEPS,
     }
 
     # Mirror solve_batch_profiled's stage chain, but AOT-compile each stage
