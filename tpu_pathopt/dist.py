@@ -81,6 +81,17 @@ def make_mesh(devices=None) -> Mesh:
     return Mesh(np.array(devices), axis_names=("scenarios",))
 
 
+def pallas_may_engage() -> bool:
+    """True on backends where the engine's Pallas kernels (fused ADMM
+    rounds, corridor DP forward) can run. shard_map's ``check_vma`` must be
+    OFF exactly then — the varying-axes checker reaches into kernel jaxprs
+    and rejects carries that cannot thread vma (see
+    ``_sharded_solver_cached``). One predicate so every shard_map in the
+    engine (dist, replan) applies the same policy; re-unify once Pallas
+    threads vma through kernel carries."""
+    return jax.default_backend() in ("tpu", "axon")
+
+
 def pad_batch(scenarios: pipeline.Scenario, multiple: int):
     """Pad a scenario batch up to the next ``multiple`` by edge-replicating
     the last element. Returns (padded scenarios, valid mask (Bp,), B)."""
@@ -122,7 +133,7 @@ def _sharded_solver_cached(mesh: Mesh, config: PlannerConfig,
     # to guard future collectives; the engine types its scan/while carries
     # from problem data (jaxutil.with_vma_of) to satisfy it. Re-unify once
     # Pallas threads vma through kernel carries.
-    pallas_engaged = jax.default_backend() in ("tpu", "axon")
+    pallas_engaged = pallas_may_engage()
 
     @jax.jit
     @functools.partial(

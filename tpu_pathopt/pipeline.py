@@ -251,13 +251,23 @@ def stage_geometry(gm: maps.GridMap, scs: Scenario, xs2, ys2, cor, l_post,
 
     run = jax.vmap(late)
     B = l_post.shape[0]
-    if B > _GEO_CHUNK and B % _GEO_CHUNK == 0:
-        nch = B // _GEO_CHUNK
-        resh = lambda a: a.reshape((nch, _GEO_CHUNK) + a.shape[1:])
-        chunked = jax.tree_util.tree_map(resh, (scs, xs2, ys2, cor, l_post))
-        out = jax.lax.map(lambda t: run(*t), chunked)
+    if B > _GEO_CHUNK:
+        # Full chunks under lax.map; the (< _GEO_CHUNK) remainder runs as
+        # one plain vmap — it is itself within the fusion working-set bound,
+        # so every B > _GEO_CHUNK is covered, not just exact multiples.
+        m = (B // _GEO_CHUNK) * _GEO_CHUNK
+        nch = m // _GEO_CHUNK
+        args = (scs, xs2, ys2, cor, l_post)
+        head = jax.tree_util.tree_map(
+            lambda a: a[:m].reshape((nch, _GEO_CHUNK) + a.shape[1:]), args)
+        out = jax.lax.map(lambda t: run(*t), head)
+        out = jax.tree_util.tree_map(
+            lambda a: a.reshape((m,) + a.shape[2:]), out)
+        if m == B:
+            return out
+        tail = run(*jax.tree_util.tree_map(lambda a: a[m:], args))
         return jax.tree_util.tree_map(
-            lambda a: a.reshape((B,) + a.shape[2:]), out)
+            lambda a, b: jnp.concatenate([a, b], axis=0), out, tail)
     return run(scs, xs2, ys2, cor, l_post)
 
 

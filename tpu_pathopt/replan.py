@@ -44,12 +44,21 @@ def advance_scenarios(scs: pipeline.Scenario, res: pipeline.PathResult,
     def adv(sc, x, y, h, k, s, n_valid, ok):
         s_end = jnp.take(s, jnp.maximum(n_valid - 1, 0))
         s_new = jnp.clip(jnp.asarray(ds, s.dtype), 0.0, s_end)
-        nx = jnp.interp(s_new, s, x)
-        ny = jnp.interp(s_new, s, y)
+        # res.s is CONSTANT past n_valid (stage_finalize zeroes padded
+        # segment lengths), and jnp.interp at a repeated x returns the
+        # LAST matching entry — a padded knot holding spline-extrapolated
+        # garbage. Make the padded tail strictly increasing so a query at
+        # s_end resolves to the last VALID knot; queries below s_end are
+        # unaffected (the valid prefix is unchanged).
+        i = jnp.arange(s.shape[0])
+        sq = s + jnp.where(i >= n_valid,
+                           (i - n_valid + 1).astype(s.dtype) * 1e-3, 0.0)
+        nx = jnp.interp(s_new, sq, x)
+        ny = jnp.interp(s_new, sq, y)
         # Heading interpolated on the circle (robust to +-pi wraps).
-        nh = jnp.arctan2(jnp.interp(s_new, s, jnp.sin(h)),
-                         jnp.interp(s_new, s, jnp.cos(h)))
-        nk = jnp.interp(s_new, s, k)
+        nh = jnp.arctan2(jnp.interp(s_new, sq, jnp.sin(h)),
+                         jnp.interp(s_new, sq, jnp.cos(h)))
+        nk = jnp.interp(s_new, sq, k)
         return sc.replace(
             start_x=jnp.where(ok, nx, sc.start_x),
             start_y=jnp.where(ok, ny, sc.start_y),
@@ -91,23 +100,20 @@ class ReplanStats:
     mean_iters_rest: float       # cycles 1.. (warm when enabled)
 
 
-def replan_stream(gm: maps.GridMap, scs: pipeline.Scenario,
-                  config: PlannerConfig, settings: QPSettings | None = None,
-                  n_steps: int = 30, advance_ds: float = 1.0,
-                  use_warm: bool = True, consume=None) -> ReplanStats:
-    """Run ``n_steps`` replanning cycles over a scenario batch: the
-    reference demo's 30 Hz loop (demo.cpp:133-211) as a batch. Cycles are
-    dispatched back-to-back (each depends on the previous anyway) and
-    synced once at the end; per-cycle results are handed to ``consume``
-    while the device works on the next cycle."""
+def _drive_stream(step, scs, warm, n_steps: int, consume) -> ReplanStats:
+    """Shared drive loop for the local and sharded streams: dispatch
+    ``n_steps`` cycles back-to-back (each depends on the previous anyway),
+    hand per-cycle results to ``consume`` while the device works on the
+    next cycle, and sync ONCE by fetching a leaf of the last cycle (cycles
+    are strictly sequentially dependent, so that syncs the whole stream);
+    the stats stacking is bookkeeping, not serving work, and stays outside
+    the timed window. ``step(scs, warm) -> (PathResult, warm, scs)``."""
     B = int(scs.n_raw.shape[0])
-    warm = pipeline.QPWarmStart.cold(B, config)
     iters, oks = [], []
     prev = None
     t0 = time.time()
-    for step in range(n_steps):
-        res, warm, scs = replan_step(gm, scs, warm, config, settings,
-                                     advance_ds, use_warm)
+    for _ in range(n_steps):
+        res, warm, scs = step(scs, warm)
         if prev is not None and consume is not None:
             consume(prev)
         prev = res
@@ -115,9 +121,6 @@ def replan_stream(gm: maps.GridMap, scs: pipeline.Scenario,
         oks.append(res.ok)
     if prev is not None and consume is not None:
         consume(prev)
-    # Cycles are strictly sequentially dependent, so fetching one leaf of
-    # the LAST cycle syncs the whole stream; the stats stacking below is
-    # bookkeeping, not serving work, and stays outside the timed window.
     np.asarray(iters[-1])
     dt = time.time() - t0
     it = np.asarray(jnp.stack(iters))
@@ -131,6 +134,22 @@ def replan_stream(gm: maps.GridMap, scs: pipeline.Scenario,
         mean_iters_rest=float(it[1:].mean()) if n_steps > 1 else float("nan"))
 
 
+def replan_stream(gm: maps.GridMap, scs: pipeline.Scenario,
+                  config: PlannerConfig, settings: QPSettings | None = None,
+                  n_steps: int = 30, advance_ds: float = 1.0,
+                  use_warm: bool = True, consume=None) -> ReplanStats:
+    """Run ``n_steps`` replanning cycles over a scenario batch: the
+    reference demo's 30 Hz loop (demo.cpp:133-211) as a batch. See
+    :func:`_drive_stream` for the dispatch/sync pattern."""
+    warm = pipeline.QPWarmStart.cold(int(scs.n_raw.shape[0]), config)
+
+    def step(scs_i, warm_i):
+        return replan_step(gm, scs_i, warm_i, config, settings, advance_ds,
+                           use_warm)
+
+    return _drive_stream(step, scs, warm, n_steps, consume)
+
+
 # --------------------------- sharded (multi-chip) ---------------------------
 
 @functools.lru_cache(maxsize=16)
@@ -140,11 +159,13 @@ def _sharded_replan_step(mesh, config: PlannerConfig, settings: QPSettings,
     warm state shard together over the "scenarios" mesh axis (the warm
     carry is per-scenario, so it never crosses shards), the grid map is
     replicated, and the fleet iteration stats ride one psum — the
-    multi-chip form of :func:`replan_step`. check_vma follows
-    dist._sharded_solver_cached (off whenever Pallas kernels can engage)."""
+    multi-chip form of :func:`replan_step`."""
     from jax.sharding import PartitionSpec as P
 
-    pallas_engaged = jax.default_backend() in ("tpu", "axon")
+    from tpu_pathopt import dist  # local import: replan <-> dist layering
+
+    # One shared policy for every shard_map in the engine.
+    pallas_engaged = dist.pallas_may_engage()
 
     @jax.jit
     @functools.partial(
@@ -184,26 +205,9 @@ def replan_stream_sharded(gm: maps.GridMap, scs: pipeline.Scenario,
                          "pad with dist.pad_batch")
     run = _sharded_replan_step(mesh, config, settings, advance_ds)
     warm = pipeline.QPWarmStart.cold(B, config)
-    iters, oks = [], []
-    prev = None
-    t0 = time.time()
-    for _ in range(n_steps):
-        res, warm, scs, _n_ok = run(gm, scs, warm)
-        if prev is not None and consume is not None:
-            consume(prev)
-        prev = res
-        iters.append(res.qp_iters)
-        oks.append(res.ok)
-    if prev is not None and consume is not None:
-        consume(prev)
-    np.asarray(iters[-1])
-    dt = time.time() - t0
-    it = np.asarray(jnp.stack(iters))
-    ok = np.asarray(jnp.stack(oks))
-    n_total = B * n_steps
-    return ReplanStats(
-        n_steps=n_steps, n_total=n_total, n_ok=int(ok.sum()),
-        seconds=dt, solves_per_s=n_total / dt if dt > 0 else 0.0,
-        mean_iters=float(it.mean()),
-        mean_iters_first=float(it[0].mean()),
-        mean_iters_rest=float(it[1:].mean()) if n_steps > 1 else float("nan"))
+
+    def step(scs_i, warm_i):
+        res, warm_o, scs_o, _n_ok = run(gm, scs_i, warm_i)
+        return res, warm_o, scs_o
+
+    return _drive_stream(step, scs, warm, n_steps, consume)
