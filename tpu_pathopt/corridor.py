@@ -461,30 +461,35 @@ def _expand_corridor(gm, ref_x, ref_y, ref_h, rough_lb, rough_ub, path_k,
     node_lb = jnp.take_along_axis(rough_lb, path_k[:, None], 1)[:, 0]
     node_ub = jnp.take_along_axis(rough_ub, path_k[:, None], 1)[:, 0]
 
-    def expand(base, sign, threshold):
-        t = jnp.arange(_EXPAND_STEPS, dtype=dt)
-        cand = base[:, None] + sign * _CHECK_S * t[None, :]    # (L, T)
-        within = (sign * cand) < _CHECK_LIMIT
-        cx, cy = normal_offset(ref_x[:, None], ref_y[:, None],
-                               ref_h[:, None], cand)
-        good = maps.is_inside(gm, cx, cy) & \
-            (maps.obstacle_distance(gm, cx, cy) > threshold)
-        fail = within & ~good
-        first_fail = jnp.argmax(
-            jnp.concatenate([fail, jnp.ones((L, 1), bool)], 1)
-            .astype(jnp.int32), axis=1)
-        exited = first_fail >= jnp.sum(within.astype(jnp.int32), axis=1)
-        # Fail at step t* -> base + sign*0.2*(t*-1); no fail -> first step
-        # beyond the 6 m limit (loop exits without stepping back).
-        n_within = jnp.sum(within.astype(jnp.int32), axis=1)
-        result_fail = base + sign * _CHECK_S * (first_fail.astype(dt) - 1.0)
-        result_exit = base + sign * _CHECK_S * n_within.astype(dt)
-        return jnp.where(exited, result_exit, result_fail)
-
-    upper = expand(node_ub + _CHECK_S, +1.0, thr_up)
-    lower = expand(node_lb - _CHECK_S, -1.0, thr_lo)
-    upper = upper.at[0].set(10.0)
-    lower = lower.at[0].set(-10.0)
+    # Both sides ride ONE stacked probe call (leading axis = upper, lower):
+    # measured TPU gather throughput rises with indices per call, so two
+    # half-size marches cost ~1.5x one stacked march (same stacking as the
+    # bounds clearance marches, PERF.md). Values are identical to the
+    # per-side marches.
+    t = jnp.arange(_EXPAND_STEPS, dtype=dt)
+    base2 = jnp.stack([node_ub + _CHECK_S, node_lb - _CHECK_S])    # (2, L)
+    sign2 = jnp.asarray([1.0, -1.0], dt)[:, None, None]
+    thr2 = jnp.asarray([thr_up, thr_lo], dt)[:, None, None]
+    cand = base2[:, :, None] + sign2 * _CHECK_S * t[None, None, :]  # (2,L,T)
+    within = (sign2 * cand) < _CHECK_LIMIT
+    cx, cy = normal_offset(ref_x[None, :, None], ref_y[None, :, None],
+                           ref_h[None, :, None], cand)
+    good = maps.is_inside(gm, cx, cy) & \
+        (maps.obstacle_distance(gm, cx, cy) > thr2)
+    fail = within & ~good
+    first_fail = jnp.argmax(
+        jnp.concatenate([fail, jnp.ones((2, L, 1), bool)], -1)
+        .astype(jnp.int32), axis=-1)
+    n_within = jnp.sum(within.astype(jnp.int32), axis=-1)
+    exited = first_fail >= n_within
+    # Fail at step t* -> base + sign*0.2*(t*-1); no fail -> first step
+    # beyond the 6 m limit (loop exits without stepping back).
+    s2 = sign2[:, :, 0]
+    result_fail = base2 + s2 * _CHECK_S * (first_fail.astype(dt) - 1.0)
+    result_exit = base2 + s2 * _CHECK_S * n_within.astype(dt)
+    res2 = jnp.where(exited, result_exit, result_fail)
+    upper = res2[0].at[0].set(10.0)
+    lower = res2[1].at[0].set(-10.0)
     valid = jnp.arange(L) <= max_layer
     return jnp.where(valid, lower, 0.0), jnp.where(valid, upper, 0.0)
 
