@@ -208,20 +208,14 @@ def test_directional_newton_bad_hint_rescued_by_prescan():
     assert r_scan < 1e-2
 
 
-@pytest.mark.parametrize("impl", ["where", "dot"])
-def test_segment_select_ignores_nonfinite_padding(impl, monkeypatch):
+def test_segment_select_ignores_nonfinite_padding():
     """Padded splines can carry non-finite coefficients beyond n_valid (the
     pipeline's arc-length refits do); the one-hot segment select must not
-    let them poison valid queries — a bare 0/1 *multiply* mask would turn
-    0 * inf into NaN for every query (caught as ok_fraction=0 end-to-end).
-    Both select implementations are pinned: "where" masks with jnp.where;
-    "dot" (the env-switched MXU variant) is a one-hot matmul whose defense
-    is zeroing non-finite rows BEFORE the multiply — this test is the
-    signal if that scrub is ever dropped."""
+    let them poison valid queries — a 0/1 *multiply* mask would turn
+    0 * inf into NaN for every query (caught as ok_fraction=0 end-to-end)."""
     import jax
     import jax.numpy as jnp
 
-    monkeypatch.setattr(splines, "_SELECT_IMPL", impl)
     s = jnp.asarray(np.linspace(0.0, 5.0, 8), jnp.float32)
     y = jnp.asarray(np.cos(np.linspace(0.0, 5.0, 8)), jnp.float32)
     sp = splines.fit_natural(s, y, n_valid=jnp.asarray(6, jnp.int32))

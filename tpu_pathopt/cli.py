@@ -176,7 +176,11 @@ def main(argv=None):
         qp1 = jax.tree_util.tree_map(lambda a: a[0],
                                      pipeline.build_path_qp(scs1, geo_out,
                                                             cfg))
-        n_rounds = min(16, max(cfg.qp_max_iter // cfg.qp_check_every, 1))
+        # Cap the traced rounds (the trace is an unrolled scan; 40 rounds =
+        # 1000 iterations covers every converging bench scenario) but SAY
+        # so when the solve needs more — OSQP's verbose=true prints to
+        # termination, so an unmarked cut would read as non-convergence.
+        n_rounds = min(40, max(cfg.qp_max_iter // cfg.qp_check_every, 1))
         # rho0 = rho_bar_path matches what stage_path_qp seeds pass 1 with.
         # Caveat: the trace runs the scalar round body; the batched TPU
         # solve runs the fused Pallas chunk kernels — same math, but float
@@ -187,12 +191,18 @@ def main(argv=None):
         print("path QP pass 1, per-round residuals "
               "(OSQP verbose equivalent):")
         print(f"  {'iter':>5} {'pri_res':>12} {'dua_res':>12} {'rho':>10}")
+        converged = False
         for r in range(n_rounds):
             print(f"  {int(tr['iters'][r]):>5} {tr['pri_res'][r]:>12.3e} "
                   f"{tr['dua_res'][r]:>12.3e} {tr['rho_bar'][r]:>10.4f}"
                   + ("   converged" if bool(tr["converged"][r]) else ""))
             if bool(tr["converged"][r]):
+                converged = True
                 break
+        if not converged:
+            print(f"  ... trace truncated after {int(tr['iters'][-1])} "
+                  f"iterations (solver max_iter {st.max_iter}; not yet "
+                  f"converged at the last traced check)")
     if not bool(result.ok):
         # Failure diagnostic (the reference's logBoundsInfo,
         # reference_path_impl.cpp:88-95).

@@ -107,30 +107,41 @@ def _drive_stream(step, scs, warm, n_steps: int, consume) -> ReplanStats:
     next cycle, and sync ONCE by fetching a leaf of the last cycle (cycles
     are strictly sequentially dependent, so that syncs the whole stream);
     the stats stacking is bookkeeping, not serving work, and stays outside
-    the timed window. ``step(scs, warm) -> (PathResult, warm, scs)``."""
+    the timed window.
+
+    ``step(scs, warm) -> (PathResult, warm, scs, (n_ok, sum_iters))`` —
+    the per-cycle stats are () scalars so they are host-fetchable on every
+    process (on a multi-host mesh the sharded ``res`` fields are not; the
+    sharded step computes them with psum).
+
+    Timing note: on FIRST use in a process, cycle 0's jit compile lands in
+    ``seconds`` — for throughput measurement, pre-warm with a short stream
+    first (``bench.replan_bench`` does; its numbers are steady-state)."""
+    if n_steps < 1:
+        raise ValueError(f"n_steps must be >= 1, got {n_steps}")
     B = int(scs.n_raw.shape[0])
-    iters, oks = [], []
+    n_oks, sum_iters = [], []
     prev = None
     t0 = time.time()
     for _ in range(n_steps):
-        res, warm, scs = step(scs, warm)
+        res, warm, scs, (n_ok, s_it) = step(scs, warm)
         if prev is not None and consume is not None:
             consume(prev)
         prev = res
-        iters.append(res.qp_iters)
-        oks.append(res.ok)
+        n_oks.append(n_ok)
+        sum_iters.append(s_it)
     if prev is not None and consume is not None:
         consume(prev)
-    np.asarray(iters[-1])
+    np.asarray(sum_iters[-1])
     dt = time.time() - t0
-    it = np.asarray(jnp.stack(iters))
-    ok = np.asarray(jnp.stack(oks))
+    it = np.asarray(jnp.stack(sum_iters), dtype=np.float64) / B
+    n_ok_total = int(np.sum(np.asarray(jnp.stack(n_oks))))
     n_total = B * n_steps
     return ReplanStats(
-        n_steps=n_steps, n_total=n_total, n_ok=int(ok.sum()),
+        n_steps=n_steps, n_total=n_total, n_ok=n_ok_total,
         seconds=dt, solves_per_s=n_total / dt if dt > 0 else 0.0,
         mean_iters=float(it.mean()),
-        mean_iters_first=float(it[0].mean()),
+        mean_iters_first=float(it[0]),
         mean_iters_rest=float(it[1:].mean()) if n_steps > 1 else float("nan"))
 
 
@@ -144,8 +155,10 @@ def replan_stream(gm: maps.GridMap, scs: pipeline.Scenario,
     warm = pipeline.QPWarmStart.cold(int(scs.n_raw.shape[0]), config)
 
     def step(scs_i, warm_i):
-        return replan_step(gm, scs_i, warm_i, config, settings, advance_ds,
-                           use_warm)
+        res, warm_o, scs_o = replan_step(gm, scs_i, warm_i, config, settings,
+                                         advance_ds, use_warm)
+        stats = (jnp.sum(res.ok.astype(jnp.int32)), jnp.sum(res.qp_iters))
+        return res, warm_o, scs_o, stats
 
     return _drive_stream(step, scs, warm, n_steps, consume)
 
@@ -173,14 +186,17 @@ def _sharded_replan_step(mesh, config: PlannerConfig, settings: QPSettings,
         mesh=mesh,
         check_vma=not pallas_engaged,
         in_specs=(P(), P("scenarios"), P("scenarios")),
-        out_specs=(P("scenarios"), P("scenarios"), P("scenarios"), P()),
+        out_specs=(P("scenarios"), P("scenarios"), P("scenarios"), P(), P()),
     )
     def _run(gm_rep, scs, warm):
         res, warm_out = pipeline.solve_batch_warm(gm_rep, scs, config,
                                                   settings, warm=warm)
         scs_next = advance_scenarios(scs, res, advance_ds)
+        # Replicated fleet scalars: on a multi-host mesh the sharded res
+        # fields are not host-fetchable, so the stream stats ride psums.
         n_ok = jax.lax.psum(jnp.sum(res.ok.astype(jnp.int32)), "scenarios")
-        return res, warm_out, scs_next, n_ok
+        sum_iters = jax.lax.psum(jnp.sum(res.qp_iters), "scenarios")
+        return res, warm_out, scs_next, n_ok, sum_iters
 
     return _run
 
@@ -207,7 +223,7 @@ def replan_stream_sharded(gm: maps.GridMap, scs: pipeline.Scenario,
     warm = pipeline.QPWarmStart.cold(B, config)
 
     def step(scs_i, warm_i):
-        res, warm_o, scs_o, _n_ok = run(gm, scs_i, warm_i)
-        return res, warm_o, scs_o
+        res, warm_o, scs_o, n_ok, sum_iters = run(gm, scs_i, warm_i)
+        return res, warm_o, scs_o, (n_ok, sum_iters)
 
     return _drive_stream(step, scs, warm, n_steps, consume)

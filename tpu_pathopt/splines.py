@@ -147,17 +147,12 @@ def _segment_index(sp: CubicSpline, q):
 
 
 _ONEHOT_MAX_ROWS = 512
-# One-hot select implementation: "where" (VPU broadcast-compare + masked
-# reduce) or "dot" (one-hot f32 matmul on the MXU). Both are bit-identical
-# to the gather (see _select_rows); the env switch exists for A/B
-# measurement of the B=1024 fusion-buffer droop (PERF.md).
-_SELECT_IMPL = __import__("os").environ.get("TPU_PATHOPT_SELECT", "where")
 
 
 def _select_rows(tbl, i):
-    """``tbl[i]`` for small tables as a one-hot select instead of a gather.
-    TPU gathers run at ~0.1-0.3 G indices/s regardless of row width; a
-    (Q, K) one-hot mask against K <= a few hundred rows is a fused VPU
+    """``tbl[i]`` for small tables as a one-hot multiply-reduce instead of a
+    gather. TPU gathers run at ~0.1-0.3 G indices/s regardless of row width;
+    a (Q, K) one-hot mask against K <= a few hundred rows is a fused VPU
     broadcast-compare + reduce that costs effectively nothing — inside the
     Newton projection loops the per-iteration coefficient gathers dominated
     the whole bounds stage. Exact: each output sums ONE selected term, so
@@ -165,17 +160,12 @@ def _select_rows(tbl, i):
     a 0/1 multiply): rows beyond a padded spline's valid extent may hold
     non-finite coefficients, and 0 * inf would poison every query.
 
-    The "dot" variant rides the MXU instead: out = onehot_f32 @ tbl with
-    non-finite padding rows zeroed first (the selected row is always a
-    VALID segment — _segment_index clips — so zeroing padding never changes
-    a selected value, and 1.0 * x + sum-of-exact-zeros reconstructs x
-    bit-exactly even under bf16x3 f32-matmul decomposition)."""
+    (An MXU variant — one-hot f32 matmul against an isfinite-scrubbed
+    table — measured inside the ~3% tunnel drift vs this where-reduce on
+    the B=512/1024 sweeps and was removed per the measured-negatives rule;
+    see PERF.md round-5 notes before reintroducing.)"""
     K = tbl.shape[0]
     oh = i[..., None] == jnp.arange(K, dtype=i.dtype)
-    if _SELECT_IMPL == "dot":
-        clean = jnp.where(jnp.isfinite(tbl), tbl, 0.0)
-        return jnp.matmul(oh.astype(clean.dtype), clean,
-                          precision=jax.lax.Precision.HIGHEST)
     return jnp.sum(jnp.where(oh[..., None], tbl, jnp.zeros_like(tbl)),
                    axis=-2)
 
