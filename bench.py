@@ -338,17 +338,21 @@ def roofline(batch=256, reps=5):
         # the axon tunnel (see SKILL.md); fetching a leaf is the real sync.
         np.asarray(jax.tree_util.tree_leaves(out)[0])
 
-    def run_stage(name, fn, *args, static=("config", "settings")):
-        jfn = jax.jit(fn, static_argnames=static)
-        compiled = jfn.lower(*args).compile()
+    def run_stage(name, fn, *args, **statics):
+        # One AOT compile per stage, used for BOTH cost_analysis and the
+        # timed runs (calling the jit wrapper after lower().compile() would
+        # compile the identical program a second time through the jit
+        # cache; a Compiled executable takes only the dynamic args).
+        jfn = jax.jit(fn, static_argnames=tuple(statics))
+        compiled = jfn.lower(*args, **statics).compile()
         ca = compiled.cost_analysis()
         if not isinstance(ca, dict):          # older jax returns [dict]
             ca = ca[0]
-        out = jfn(*args)
+        out = compiled(*args)
         _sync(out)
         t0 = time.time()
         for _ in range(reps):
-            out = jfn(*args)
+            out = compiled(*args)
         _sync(out)
         dt = (time.time() - t0) / reps
         stats[name] = {
@@ -360,20 +364,19 @@ def roofline(batch=256, reps=5):
         return out
 
     with jax.default_matmul_precision("highest"):
-        prep_out = run_stage("prep", pipeline.stage_prep, scs, cfg,
-                             static=("config",))
+        prep_out = run_stage("prep", pipeline.stage_prep, scs, config=cfg)
         smooth_out = run_stage("smooth", pipeline.stage_smooth, gm, prep_out,
-                               cfg, settings)
+                               config=cfg, settings=settings)
         xs2, ys2, cor = run_stage("corridor", pipeline.stage_corridor, gm,
-                                  scs, smooth_out, cfg, static=("config",))
+                                  scs, smooth_out, config=cfg)
         l_post, _ = run_stage("post_smooth", pipeline.stage_post_smooth, cor,
-                              cfg, settings)
+                              config=cfg, settings=settings)
         geo_out = run_stage("bounds", pipeline.stage_geometry, gm, scs, xs2,
-                            ys2, cor, l_post, cfg, static=("config",))
+                            ys2, cor, l_post, config=cfg)
         sol1, sol2 = run_stage("path_qp", pipeline.stage_path_qp, scs,
-                               geo_out, cfg, settings)
+                               geo_out, config=cfg, settings=settings)
         run_stage("finalize", pipeline.stage_finalize, geo_out[0], sol2,
-                  geo_out[5], cfg, static=("config",))
+                  geo_out[5], config=cfg)
 
     mean_iters = float(np.mean(np.asarray(sol1.iters + sol2.iters)))
     table = {}

@@ -11,8 +11,15 @@ configuration. Run:
 """
 
 import argparse
+import os
+import sys
 
 import numpy as np
+
+# Make `python examples/quickstart.py` work from anywhere: the repo root
+# (for `tpu_pathopt` and the top-level `bench` helper) is the script's
+# parent directory, not sys.path[0].
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
@@ -78,12 +85,13 @@ def main():
     print(f"scenario {i}: {nv} knots, max |curvature| {np.abs(k).max():.3f} "
           f"(limit {cfg.kappa_limit:.3f})")
 
-    # --- 4. One warm-started replanning cycle (the reference demo's 30 Hz
-    # loop): advance each scenario along its solved path, re-solve carrying
-    # the QP state. replan.replan_stream drives whole streams of these.
-    res2, warm = pipeline.solve_batch_warm(gm, scs, cfg)
-    scs2 = replan.advance_scenarios(scs, res2, ds=1.0)  # drive 1 m
-    res3, _ = pipeline.solve_batch_warm(gm, scs2, cfg, warm=warm)
+    # --- 4. Warm-started replanning cycles (the reference demo's 30 Hz
+    # loop): each jitted replan_step solves, carries the QP solver state,
+    # and advances the fleet 1 m along its solved paths.
+    # replan.replan_stream drives whole streams of these.
+    warm = pipeline.QPWarmStart.cold(B, cfg)
+    res2, warm, scs2 = replan.replan_step(gm, scs, warm, cfg)   # cold cycle
+    res3, _, _ = replan.replan_step(gm, scs2, warm, cfg)        # warm cycle
     print(f"replanned (warm): ok={int(np.asarray(res3.ok).sum())}/{B}, "
           f"mean QP iters={float(np.asarray(res3.qp_iters).mean()):.0f} "
           f"(vs {float(np.asarray(res2.qp_iters).mean()):.0f} cold)")

@@ -18,7 +18,8 @@ _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def test_quickstart_runs(tmp_path, capsys, monkeypatch):
     out_png = tmp_path / "quickstart.png"
     monkeypatch.setattr(sys, "argv", ["quickstart.py", "--out", str(out_png)])
-    monkeypatch.syspath_prepend(_ROOT)   # for `from bench import ...`
+    # No sys.path help: the script must resolve `bench`/`tpu_pathopt` itself
+    # (it inserts its parent-parent), as `python examples/quickstart.py` does.
     runpy.run_path(os.path.join(_ROOT, "examples", "quickstart.py"),
                    run_name="__main__")
     text = capsys.readouterr().out

@@ -2,7 +2,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import scipy.interpolate
-import pytest
 
 from tpu_pathopt import splines
 

@@ -164,13 +164,7 @@ def main(argv=None):
         @jax.jit
         def geo(gm_, scs_):
             with jax.default_matmul_precision("highest"):
-                prep_out = pipeline.stage_prep(scs_, cfg)
-                smooth_out = pipeline.stage_smooth(gm_, prep_out, cfg, st)
-                xs2, ys2, cor = pipeline.stage_corridor(gm_, scs_,
-                                                        smooth_out, cfg)
-                l_post, _okp = pipeline.stage_post_smooth(cor, cfg, st)
-                return pipeline.stage_geometry(gm_, scs_, xs2, ys2, cor,
-                                               l_post, cfg)
+                return pipeline.run_to_geometry(gm_, scs_, cfg, st)[0]
 
         geo_out = geo(gm, scs1)
         qp1 = jax.tree_util.tree_map(lambda a: a[0],
@@ -180,7 +174,10 @@ def main(argv=None):
         # 1000 iterations covers every converging bench scenario) but SAY
         # so when the solve needs more — OSQP's verbose=true prints to
         # termination, so an unmarked cut would read as non-convergence.
-        n_rounds = min(40, max(cfg.qp_max_iter // cfg.qp_check_every, 1))
+        # Ceil division: the solver's while loop runs a final PARTIAL round
+        # when max_iter is not a multiple of check_every — floor would drop
+        # it and a solve converging there would print as truncated.
+        n_rounds = min(40, max(-(-cfg.qp_max_iter // cfg.qp_check_every), 1))
         # rho0 = rho_bar_path matches what stage_path_qp seeds pass 1 with.
         # Caveat: the trace runs the scalar round body; the batched TPU
         # solve runs the fused Pallas chunk kernels — same math, but float

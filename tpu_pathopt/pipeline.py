@@ -435,17 +435,30 @@ def solve_batch(gm: maps.GridMap, scenarios: Scenario, config: PlannerConfig,
         return _solve_batch_impl(gm, scenarios, config, settings)
 
 
+def run_to_geometry(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
+                    settings: QPSettings):
+    """Run the stage chain up through ``stage_geometry``: the shared
+    front half of every driver that needs the assembled path-QP inputs
+    (``_solve_batch_impl``, the CLI's ``--verbose-qp`` trace, custom
+    drives). Returns ``(geo_out, (ok_input, ok_smooth, cor, ok_post))``.
+    One spelling of the chain so a stage-signature change cannot silently
+    miss a hand-copied variant (``solve_batch_profiled`` and
+    ``bench.roofline`` stay stage-by-stage on purpose — per-stage timing
+    is their point)."""
+    prep_out = stage_prep(scs, config)
+    smooth_out = stage_smooth(gm, prep_out, config, settings)
+    xs2, ys2, cor = stage_corridor(gm, scs, smooth_out, config)
+    l_post, ok_post = stage_post_smooth(cor, config, settings)
+    geo_out = stage_geometry(gm, scs, xs2, ys2, cor, l_post, config)
+    return geo_out, (prep_out[0], smooth_out[4], cor, ok_post)
+
+
 def _solve_batch_impl(gm: maps.GridMap, scs: Scenario, config: PlannerConfig,
                       settings: QPSettings, warm: QPWarmStart | None = None,
                       return_warm: bool = False):
-    prep_out = stage_prep(scs, config)
-    ok_input = prep_out[0]
-    smooth_out = stage_smooth(gm, prep_out, config, settings)
-    ok_smooth = smooth_out[4]
-    xs2, ys2, cor = stage_corridor(gm, scs, smooth_out, config)
+    geo_out, (ok_input, ok_smooth, cor, ok_post) = run_to_geometry(
+        gm, scs, config, settings)
     ok_corridor = cor.ok
-    l_post, ok_post = stage_post_smooth(cor, config, settings)
-    geo_out = stage_geometry(gm, scs, xs2, ys2, cor, l_post, config)
     ref, cb, init_offset, init_heading_error, ok_init, n_valid = geo_out
     sol1, sol2 = stage_path_qp(scs, geo_out, config, settings, warm=warm)
     ok_qp = sol1.converged & sol2.converged
